@@ -1,0 +1,27 @@
+"""Dataset registry (reference: datasets/__init__.py:9-36)."""
+
+from __future__ import annotations
+
+import importlib
+
+from shineon_tpu.datasets.base_dataset import BaseDataset  # noqa: F401
+
+
+def find_dataset_using_name(dataset_name: str):
+    dataset_filename = "shineon_tpu.datasets." + dataset_name + "_dataset"
+    datasetlib = importlib.import_module(dataset_filename)
+
+    target_dataset_name = dataset_name.replace("_", "") + "dataset"
+    for name, cls in datasetlib.__dict__.items():
+        if name.lower() == target_dataset_name.lower() and issubclass(cls, BaseDataset):
+            return cls
+
+    raise NotImplementedError(
+        "In %s.py, there should be a subclass of BaseDataset with class name that "
+        "matches %s in lowercase." % (dataset_filename, target_dataset_name)
+    )
+
+
+def get_option_setter(dataset_name: str):
+    dataset_class = find_dataset_using_name(dataset_name)
+    return dataset_class.modify_commandline_options

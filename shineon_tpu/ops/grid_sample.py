@@ -1,0 +1,139 @@
+"""Bilinear grid sampling (the `F.grid_sample` capability) in XLA, NHWC layout.
+
+Reference usage: models/warp_model.py:85-88 and the flownet2 Resample2d op
+(SURVEY §2.9). On TPU the right implementation is an XLA gather: the four corner
+reads become batched dynamic-gathers that XLA lowers to native TPU gather
+instructions and fuses with the surrounding elementwise math, and reverse-mode
+autodiff gives the scatter-add backward for free. (A hand-rolled Pallas gather
+would serialize per-element index reads; gathers are the one op class where the
+XLA lowering is already speed-of-light.)
+
+Semantics match ``torch.nn.functional.grid_sample(..., mode="bilinear")`` with
+``align_corners=False`` (the PyTorch>=1.3 default the reference runs with under
+torch 1.6) for both ``padding_mode="zeros"`` and ``"border"``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["grid_sample", "resample2d"]
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    """Map [-1, 1] -> pixel coordinates, torch grid_sampler_unnormalize."""
+    size = jnp.asarray(size, coord.dtype)
+    if align_corners:
+        return (coord + 1.0) / 2.0 * (size - 1.0)
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
+def grid_sample(
+    image: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Bilinearly sample ``image`` at normalized ``grid`` locations.
+
+    Args:
+      image: (B, H, W, C) input.
+      grid: (B, Hg, Wg, 2); ``grid[..., 0]`` is x (width coord), ``grid[..., 1]``
+        is y, both in [-1, 1] (same convention as torch).
+      padding_mode: "zeros" or "border".
+      align_corners: corner-pixel convention (torch semantics).
+
+    Returns:
+      (B, Hg, Wg, C) sampled output.
+    """
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    B, H, W, C = image.shape
+    compute_dtype = jnp.promote_types(image.dtype, jnp.float32)
+
+    gx = _unnormalize(grid[..., 0].astype(compute_dtype), W, align_corners)
+    gy = _unnormalize(grid[..., 1].astype(compute_dtype), H, align_corners)
+
+    if padding_mode == "border":
+        # torch clips the *source* coordinate before computing corners.
+        gx = jnp.clip(gx, 0.0, W - 1)
+        gy = jnp.clip(gy, 0.0, H - 1)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    # Interpolation weights before clipping the corner indices.
+    wx1 = gx - x0  # weight for x1
+    wx0 = 1.0 - wx1
+    wy1 = gy - y0
+    wy0 = 1.0 - wy1
+
+    def corner(ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
+        """Gather image[b, iy, ix, :] with OOB handling; returns (B, Hg, Wg, C)."""
+        if padding_mode == "zeros":
+            in_bounds = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        else:
+            in_bounds = None
+        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        flat_idx = iyc * W + ixc  # (B, Hg, Wg)
+        flat_img = image.reshape(B, H * W, C)
+        vals = jnp.take_along_axis(
+            flat_img,
+            flat_idx.reshape(B, -1, 1),
+            axis=1,
+        ).reshape(ix.shape + (C,))
+        if in_bounds is not None:
+            vals = jnp.where(in_bounds[..., None], vals, 0.0)
+        return vals
+
+    v00 = corner(x0, y0)
+    v01 = corner(x1, y0)
+    v10 = corner(x0, y1)
+    v11 = corner(x1, y1)
+
+    out = (
+        v00 * (wx0 * wy0)[..., None]
+        + v01 * (wx1 * wy0)[..., None]
+        + v10 * (wx0 * wy1)[..., None]
+        + v11 * (wx1 * wy1)[..., None]
+    )
+    return out.astype(image.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode",))
+def resample2d(
+    image: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "border"
+) -> jnp.ndarray:
+    """Warp ``image`` by a pixel-unit optical ``flow`` field (flownet2 Resample2d).
+
+    ``out[b, y, x] = image[b, y + flow_y, x + flow_x]`` with bilinear
+    interpolation; replaces the CUDA resample2d_package op consumed at
+    models/unet_mask_model.py:22,60 and models/sams_model.py:16,95 in the
+    reference. Differentiable w.r.t. ``image`` (the reference treats flow as
+    data, but the gather is differentiable in both arguments here).
+
+    Args:
+      image: (B, H, W, C).
+      flow: (B, H, W, 2) displacement in pixels; ``flow[..., 0]`` is dx,
+        ``flow[..., 1]`` is dy.
+      padding_mode: boundary handling ("border" replicates edge pixels, matching
+        the flownet2 kernel's coordinate clamping).
+    """
+    B, H, W, C = image.shape
+    compute_dtype = jnp.promote_types(image.dtype, jnp.float32)
+    xs = jax.lax.broadcasted_iota(compute_dtype, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(compute_dtype, (H, W), 0)
+    gx = xs[None] + flow[..., 0].astype(compute_dtype)
+    gy = ys[None] + flow[..., 1].astype(compute_dtype)
+    # Re-normalize to [-1, 1] (align_corners=True maps pixel i -> -1 + 2i/(S-1)).
+    nx = 2.0 * gx / (W - 1) - 1.0
+    ny = 2.0 * gy / (H - 1) - 1.0
+    grid = jnp.stack([nx, ny], axis=-1)
+    return grid_sample(image, grid, padding_mode=padding_mode, align_corners=True)

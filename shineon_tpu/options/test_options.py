@@ -1,0 +1,35 @@
+"""Test/inference flags (reference: options/test_options.py:5-32)."""
+
+from __future__ import annotations
+
+import argparse
+
+from shineon_tpu.options.base_options import BaseOptions
+
+
+class TestOptions(BaseOptions):
+    def initialize(self, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        parser = BaseOptions.initialize(self, parser)
+        parser.set_defaults(datamode="test")
+        parser.add_argument(
+            "--no_shuffle", action="store_true", default=True,
+            help="don't shuffle input data (always on at test time)",
+        )
+        self.is_train = False
+        parser.add_argument(
+            "--result_dir",
+            type=str,
+            default="test_results",
+            help="save test result outputs",
+        )
+        parser.add_argument(
+            "--tryon_list",
+            help="Use a CSV file to specify what cloth should go on each person. "
+            "The CSV should have two columns: CLOTH_PATH and PERSON_ID.",
+        )
+        parser.add_argument(
+            "--random_tryon",
+            help="Randomly choose cloth-person pairs for try-on.",
+            action="store_true",
+        )
+        return parser
