@@ -1,0 +1,97 @@
+"""GAN + perceptual losses (reference: models/networks/loss.py:13-122).
+
+Pure functions of arrays/pytrees — no module state — so each loss fuses into
+the jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+
+from shineon_tpu.networks.vgg import Vgg19Features, load_vgg19_params
+
+PredType = Union[jnp.ndarray, Sequence]
+
+
+class GANLoss:
+    """ls / original / w / hinge adversarial losses with multiscale-list
+    handling (loss.py:13-103)."""
+
+    AVAILABLE_MODES = ("ls", "original", "w", "hinge")
+
+    def __init__(self, gan_mode: str = "hinge"):
+        assert gan_mode in GANLoss.AVAILABLE_MODES, f"Unexpected {gan_mode = }"
+        self.gan_mode = gan_mode
+
+    def _loss(self, x: jnp.ndarray, target_is_real: bool, for_discriminator: bool):
+        x = x.astype(jnp.float32)
+        if self.gan_mode == "original":
+            target = jnp.ones_like(x) if target_is_real else jnp.zeros_like(x)
+            # binary_cross_entropy_with_logits
+            return jnp.mean(
+                jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
+            )
+        if self.gan_mode == "ls":
+            target = jnp.ones_like(x) if target_is_real else jnp.zeros_like(x)
+            return jnp.mean((x - target) ** 2)
+        if self.gan_mode == "hinge":
+            if for_discriminator:
+                if target_is_real:
+                    return -jnp.mean(jnp.minimum(x - 1, 0.0))
+                return -jnp.mean(jnp.minimum(-x - 1, 0.0))
+            assert target_is_real, "The generator's hinge loss must be aiming for real"
+            return -jnp.mean(x)
+        # wgan
+        return -jnp.mean(x) if target_is_real else jnp.mean(x)
+
+    def __call__(self, pred: PredType, target_is_real: bool, for_discriminator: bool = True):
+        """pred may be a tensor, a list of tensors, or a list of per-D feature
+        lists (multiscale D); only the last feature of each sub-list is the
+        logit (loss.py:89-103)."""
+        if isinstance(pred, (list, tuple)):
+            total = 0.0
+            for pred_i in pred:
+                if isinstance(pred_i, (list, tuple)):
+                    pred_i = pred_i[-1]
+                total = total + self._loss(pred_i, target_is_real, for_discriminator)
+            return total / len(pred)
+        return self._loss(pred, target_is_real, for_discriminator)
+
+
+class VGGLoss:
+    """5-slice VGG19 perceptual L1 with weights [1/32,1/16,1/8,1/4,1]
+    (loss.py:106-122). Holds frozen VGG params; call with two [-1,1] NHWC
+    images."""
+
+    WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
+
+    def __init__(self, variables: Optional[dict] = None, layids: Optional[List[int]] = None):
+        self.model = Vgg19Features()
+        self.variables = variables if variables is not None else load_vgg19_params()
+        self.layids = layids
+
+    def features(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        return self.model.apply(self.variables, x)
+
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        fx = self.features(x)
+        fy = self.features(y)
+        layids = self.layids if self.layids is not None else range(len(fx))
+        loss = 0.0
+        for i in layids:
+            loss = loss + self.WEIGHTS[i] * jnp.mean(
+                jnp.abs(fx[i] - jax_stop_gradient(fy[i]))
+            )
+        return loss
+
+
+def jax_stop_gradient(x):
+    import jax
+
+    return jax.lax.stop_gradient(x)
+
+
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a - b))

@@ -1,0 +1,131 @@
+"""Normalization layers: instance/batch/sync-batch + spectral-norm conv wrapper.
+
+Reference: models/networks/normalization.py:14-48 (``get_nonspade_norm_layer``)
+and the vendored SynchronizedBatchNorm package (SURVEY §2.6).
+
+Sync batch-norm note (the reference's 730-line subsystem): under ``pjit`` with
+the batch sharded over the "data" mesh axis, a plain ``jnp.mean`` over the batch
+axis IS a cross-replica reduction — GSPMD inserts the all-reduce. Under
+``shard_map``/``pmap`` the explicit ``axis_name`` triggers ``lax.pmean`` of the
+(sum, sum-of-squares) moments. Both paths live in :class:`SyncBatchNorm`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from shineon_tpu.networks.init import batchnorm_scale_init, kernel_init_for
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial dims (torch
+    InstanceNorm2d semantics: eps 1e-5, no running stats, affine off by default)."""
+
+    epsilon: float = 1e-5
+    affine: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (..., H, W, C); normalize over H, W per sample/channel.
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x, axis=(-3, -2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            y = y * scale + bias
+        return y
+
+
+class SyncBatchNorm(nn.Module):
+    """Batch normalization whose statistics span the full (global) batch.
+
+    The capability of the reference's SynchronizedBatchNorm2d
+    (sync_batchnorm/batchnorm.py:51-396): replica-local moments are reduced
+    across the data-parallel axis every forward pass. Here that is a single
+    ``axis_name`` on flax's BatchNorm (=> lax.pmean inside shard_map/pmap), and
+    automatic under pjit-sharded batches.
+
+    torch parity: eps 1e-5, running-stat momentum 0.1 (flax momentum 0.9),
+    affine=True.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    affine: bool = True
+    axis_name: Optional[str] = None
+    init_gain: Optional[float] = None  # if set, scale ~ N(1, gain)
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        scale_init = (
+            batchnorm_scale_init(self.init_gain)
+            if self.init_gain is not None
+            else nn.initializers.ones
+        )
+        return nn.BatchNorm(
+            use_running_average=nn.merge_param(
+                "use_running_average",
+                self.use_running_average,
+                use_running_average,
+            ),
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            use_bias=self.affine,
+            use_scale=self.affine,
+            scale_init=scale_init,
+            axis_name=self.axis_name,
+        )(x)
+
+
+class SpectralConv(nn.Module):
+    """Conv2d with spectral normalization of the kernel (torch
+    nn.utils.spectral_norm semantics: one power-iteration step per forward,
+    u/v persisted as non-trainable state in the 'batch_stats' collection)."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: str | tuple = ((0, 0), (0, 0))
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        conv = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+        )
+        return nn.SpectralNorm(conv)(x, update_stats=update_stats)
+
+
+def make_norm_layer(norm_type: str, axis_name: Optional[str] = None):
+    """Resolve a non-SPADE norm config string to a constructor.
+
+    Reference get_nonspade_norm_layer (normalization.py:14-48): the string may
+    carry a "spectral" prefix (handled by the caller wrapping its conv) and one
+    of {batch, sync_batch, instance, none}.
+
+    Returns a callable (train_flag) -> norm module, or None for "none".
+    """
+    subnorm = norm_type[len("spectral"):] if norm_type.startswith("spectral") else norm_type
+    if subnorm in ("none", ""):
+        return None
+    if subnorm == "batch":
+        return lambda train: SyncBatchNorm(use_running_average=not train)
+    if subnorm == "sync_batch":
+        return lambda train: SyncBatchNorm(
+            use_running_average=not train, axis_name=axis_name
+        )
+    if subnorm == "instance":
+        return lambda train: InstanceNorm(affine=False)
+    raise ValueError(f"normalization layer {subnorm} is not recognized")
