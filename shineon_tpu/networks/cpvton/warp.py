@@ -64,6 +64,13 @@ class FeatureRegression(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if x.shape[-3] < 8 or x.shape[-2] < 6:
+            raise ValueError(
+                "FeatureRegression needs a correlation map of at least 8x6 "
+                f"(fine size >= 128x96); got spatial {x.shape[-3]}x{x.shape[-2]}. "
+                "Smaller inputs collapse to zero-size activations in the "
+                "stride-2 tower."
+            )
         kinit = kernel_init_for("normal", self.init_gain)
 
         def block(h, feats, ksize, stride):

@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin force-prepends itself to jax_platforms regardless of the
+# JAX_PLATFORMS env var; pin the config explicitly so tests run on the
+# 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,229 @@
+"""End-to-end train-step tests for all three model families on the virtual
+CPU mesh, at reduced resolution to keep single-core compile times sane.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shineon_tpu.parallel.mesh import data_sharding, make_mesh, replicated_sharding
+
+
+def _base_opt(**kw):
+    base = dict(
+        model="warp", dataset="viton", datamode="train", is_train=True,
+        person_inputs=["agnostic", "cocopose"], cloth_inputs=["cloth"],
+        # warp's regression tower needs feature maps >= 8x6 -> fine >= 128x96
+        fine_height=128, fine_width=96, radius=3, val_fraction=0.1,
+        cloth_mask_threshold=240, visualize_flow=False, image_scale=1,
+        n_frames_total=1, n_frames_now=1, flow_warp=False,
+        lr=1e-4, keep_epochs=5, decay_epochs=5, accumulated_batches=1,
+        batch_size=8, workers=0, no_shuffle=False, grid_size=3,
+        limit_train_batches="1.0", limit_val_batches="1.0",
+        ngf=16, self_attn=False, num_attn=2, activation=None, precision=32,
+        tryon_list=None, warp_cloth_dir=None, pen_flow_mask=1.0,
+        display_count=200, save_count=10000, experiments_dir="/tmp/exp",
+        name="t", checkpoint="", fast_dev_run=False,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def _raw_image_batch(opt, batch, frames=None, rng_seed=0):
+    rng = np.random.RandomState(rng_seed)
+    H, W = opt.fine_height, opt.fine_width
+    lead = (batch,) if frames is None else (batch, frames)
+
+    def u8(*tail):
+        return rng.randint(0, 255, lead + tail).astype(np.uint8)
+
+    raw = {
+        "image_u8": u8(H, W, 3),
+        "prev_image_u8": u8(H, W, 3),
+        "prev_image_valid": np.ones(lead, np.float32),
+        "cloth_u8": u8(H, W, 3),
+        "parse_u8": rng.randint(0, 20, lead + (H, W)).astype(np.uint8),
+    }
+    if "cocopose" in opt.person_inputs:
+        raw["cocopose_kp"] = rng.rand(*lead, 18, 3).astype(np.float32) * 40
+    if "densepose" in opt.person_inputs:
+        raw["densepose_u8"] = u8(H, W, 3)
+        raw["densepose_valid"] = np.ones(lead, np.float32)
+    if opt.flow_warp or "flow" in opt.person_inputs:
+        raw["flow_raw"] = rng.randn(*lead, H, W, 2).astype(np.float32)
+        raw["flow_valid"] = np.ones(lead, np.float32)
+    if opt.model == "warp":
+        raw["grid_vis_u8"] = u8(H, W, 3)
+    return raw
+
+
+def _shard(raw, mesh):
+    sharding = data_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in raw.items()}
+
+
+def test_warp_train_step_on_mesh():
+    from shineon_tpu.models.warp_model import WarpModel
+
+    mesh = make_mesh()
+    assert len(mesh.devices.ravel()) == 8
+    opt = _base_opt()
+    model = WarpModel(opt)
+    state = model.init_state(jax.random.PRNGKey(0), steps_per_epoch=4)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = model.make_train_step()
+    batch = _shard(_raw_image_batch(opt, 8), mesh)
+
+    state1, metrics = step(state, batch)
+    loss0 = float(metrics["loss/G"])
+    assert np.isfinite(loss0)
+    assert int(jax.device_get(state1.step)) == 1
+    # params actually moved
+    delta = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree_util.tree_map(
+            lambda a, b: a - b, state1.nets["gmm"].params, state.nets["gmm"].params
+        ),
+        0.0,
+    )
+    assert delta > 0
+
+    # val step runs in eval mode and returns checkpoint_on
+    val = model.make_val_step()(state1, batch)
+    assert np.isfinite(float(val["checkpoint_on"]))
+
+
+def test_warp_loss_decreases_on_fixed_batch():
+    from shineon_tpu.models.warp_model import WarpModel
+
+    mesh = make_mesh()
+    opt = _base_opt(lr=5e-4)
+    model = WarpModel(opt)
+    state = model.init_state(jax.random.PRNGKey(1), steps_per_epoch=100)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = model.make_train_step()
+    batch = _shard(_raw_image_batch(opt, 8), mesh)
+    first = None
+    for i in range(8):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss/G"])
+    assert float(metrics["loss/G"]) < first
+
+
+def test_unet_mask_train_step_single_frame():
+    from shineon_tpu.models.unet_mask_model import UnetMaskModel
+
+    mesh = make_mesh()
+    opt = _base_opt(
+        model="unet_mask", person_inputs=["agnostic", "densepose"], num_attn=0,
+        fine_height=64, fine_width=64,
+    )
+    model = UnetMaskModel(opt)
+    state = model.init_state(jax.random.PRNGKey(2), steps_per_epoch=4)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = model.make_train_step()
+    batch = _shard(_raw_image_batch(opt, 8), mesh)
+    state1, metrics = step(state, batch)
+    for key in ("loss/G", "loss/G/l1", "loss/G/vgg", "loss/G/tryon_mask_l1"):
+        assert np.isfinite(float(metrics[key])), key
+
+
+def test_unet_mask_flow_warp_frames():
+    from shineon_tpu.models.unet_mask_model import UnetMaskModel
+
+    mesh = make_mesh()
+    opt = _base_opt(
+        model="unet_mask", person_inputs=["agnostic", "densepose"],
+        flow_warp=True, n_frames_total=3, n_frames_now=3, num_attn=0,
+        fine_height=64, fine_width=64,
+    )
+    model = UnetMaskModel(opt)
+    state = model.init_state(jax.random.PRNGKey(3), steps_per_epoch=4)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = _shard(_raw_image_batch(opt, 8, frames=3), mesh)
+    # forward shapes: 5*n output channels split into rendered/mask/flow-mask
+    feats = model.features(batch)
+    p_r, t_m, p_t, f_m = model.forward(
+        state.nets["unet"].params, feats, train=False
+    )
+    assert p_r.shape[-1] == 9 and t_m.shape[-1] == 3
+    assert p_t.shape[-1] == 9 and f_m.shape[-1] == 3
+    state1, metrics = model.make_train_step()(state, batch)
+    assert np.isfinite(float(metrics["loss/G"]))
+    assert "loss/G/l1_prev" in metrics
+
+
+def _sams_opt_tiny(**kw):
+    base = _base_opt(
+        model="sams", dataset="vvt",
+        person_inputs=["agnostic", "densepose", "flow"],
+        flow_warp=True, n_frames_total=3, n_frames_now=3,
+        fine_height=32, fine_width=24,
+        encoder_input="flow", activation="relu",
+        norm_G="spectralspadesyncbatch3x3", ngf_base=2, ngf_pow_outer=3,
+        ngf_pow_inner=5, ngf_pow_step=1, num_middle=1,
+        attention_middle_indices=(), attention_decoder_indices=(),
+        init_type="xavier", init_variance=0.02,
+        num_D=2, ndf=8, n_layers_D=4, norm_D="spectralinstance",
+        gan_mode="hinge", lr_D=3e-4, no_ganFeat_loss=False,
+        wt_l1=1.0, wt_vgg=1.0, wt_multiscale=1.0, wt_temporal=1.0,
+        batch_size=8,
+    )
+    base.__dict__.update(kw)
+    return base
+
+
+def test_sams_progressive_masking():
+    """n_frames_now < n_frames_total: early frames must stay zero in the
+    generated buffer and be zero-masked for the temporal D."""
+    from shineon_tpu.models.sams_model import SamsModel
+
+    opt = _sams_opt_tiny(n_frames_now=2)
+    model = SamsModel(opt)
+    state = model.init_state(jax.random.PRNGKey(4), steps_per_epoch=4)
+    batch = {
+        k: jnp.asarray(v) for k, v in _raw_image_batch(opt, 2, frames=3).items()
+    }
+    feats = model.features(batch)
+    fake, _, buffer, _ = model.generate_n_frames(
+        state.nets["generator"].params, state.nets["generator"].stats,
+        feats, train=False,
+    )
+    buffer = np.asarray(buffer)
+    assert np.all(buffer[:, 0] == 0)  # frame 0 not generated
+    assert np.abs(buffer[:, 1]).max() > 0
+    np.testing.assert_array_equal(np.asarray(fake), buffer[:, 2])
+    masked = np.asarray(model.mask_unused_frames(feats["image"]))
+    assert np.all(masked[:, 0] == 0) and np.abs(masked[:, 1:]).max() > 0
+
+
+def test_sams_train_step_updates_all_three_nets():
+    from shineon_tpu.models.sams_model import SamsModel
+
+    mesh = make_mesh()
+    opt = _sams_opt_tiny()
+    model = SamsModel(opt)
+    state = model.init_state(jax.random.PRNGKey(5), steps_per_epoch=4)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = _shard(_raw_image_batch(opt, 8, frames=3), mesh)
+    state1, metrics = model.make_train_step()(state, batch)
+    for key in ("loss", "loss/G/adv_multiscale", "loss/G/adv_temporal",
+                "loss/D/multi", "loss/D/temporal"):
+        assert np.isfinite(float(metrics[key])), key
+    for net in ("generator", "d_multi", "d_temporal"):
+        delta = jax.tree_util.tree_reduce(
+            lambda acc, x: acc + float(jnp.abs(x).sum()),
+            jax.tree_util.tree_map(
+                lambda a, b: a - b,
+                state1.nets[net].params, state.nets[net].params,
+            ),
+            0.0,
+        )
+        assert delta > 0, f"{net} params did not update"
+
+    val = model.make_val_step()(state1, batch)
+    assert np.isfinite(float(val["checkpoint_on"]))
