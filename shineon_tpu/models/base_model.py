@@ -71,6 +71,13 @@ class BaseModel(abc.ABC):
         self.cloth_channels = parse_num_channels(opt.cloth_inputs)
         self.is_train = opt.is_train
         self.preprocess_config = PreprocessConfig.from_opt(opt)
+        # --precision 16 -> bfloat16 compute policy (params stay f32; losses,
+        # sampling grids and norm statistics stay f32). The fp16+loss-scaling
+        # of the reference (options/base_options.py:34-42) is unnecessary on
+        # TPU: bf16 has the same exponent range as f32.
+        self.compute_dtype = (
+            jnp.bfloat16 if getattr(opt, "precision", 32) == 16 else None
+        )
 
     # ------------------------------------------------------------ hparams
 

@@ -111,6 +111,7 @@ class SamsModel(BaseModel):
             flow_warp=opt.flow_warp,
             encoder_input=opt.encoder_input,
             inputs=tuple(self.inputs),
+            dtype=self.compute_dtype,
         )
         if self.is_train:
             self.multiscale_discriminator = MultiscaleDiscriminator(
@@ -120,6 +121,7 @@ class SamsModel(BaseModel):
                 norm_D=opt.norm_D,
                 init_type=getattr(opt, "init_type", "xavier"),
                 init_gain=getattr(opt, "init_variance", 0.02),
+                dtype=self.compute_dtype,
             )
             enc_ch = parse_num_channels(opt.encoder_input)
             self.temporal_in_channels = self.n_frames_total * (enc_ch + RGB_CHANNELS)
@@ -129,6 +131,7 @@ class SamsModel(BaseModel):
                 norm_D=opt.norm_D,
                 init_type=getattr(opt, "init_type", "xavier"),
                 init_gain=getattr(opt, "init_variance", 0.02),
+                dtype=self.compute_dtype,
             )
             self.criterion_gan = GANLoss(getattr(opt, "gan_mode", "hinge"))
             self.criterion_vgg = VGGLoss()

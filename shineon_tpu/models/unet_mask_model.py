@@ -60,6 +60,7 @@ class UnetMaskModel(BaseModel):
             norm="instance",
             use_self_attn=opt.self_attn,
             activation=opt.activation,
+            dtype=self.compute_dtype,
         )
         self.criterion_vgg = VGGLoss()
         self._tx = None

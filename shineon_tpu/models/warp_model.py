@@ -48,6 +48,7 @@ class WarpModel(BaseModel):
             fine_width=opt.fine_width,
             grid_size=opt.grid_size,
             ngf=opt.ngf,
+            dtype=self.compute_dtype,
         )
         self._tx = None
         self._schedule = None

@@ -9,6 +9,8 @@ softmax with the surrounding contractions; no sequence sharding is needed
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -26,15 +28,16 @@ class SelfAttention(nn.Module):
 
     init_type: str = "normal"
     init_gain: float = 0.02
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B = x.shape[0]
         H, W, C = x.shape[-3:]
         kinit = kernel_init_for(self.init_type, self.init_gain)
-        q = nn.Conv(C // 8, (1, 1), kernel_init=kinit, name="query_conv")(x)
-        k = nn.Conv(C // 8, (1, 1), kernel_init=kinit, name="key_conv")(x)
-        v = nn.Conv(C, (1, 1), kernel_init=kinit, name="value_conv")(x)
+        q = nn.Conv(C // 8, (1, 1), kernel_init=kinit, dtype=self.dtype, name="query_conv")(x)
+        k = nn.Conv(C // 8, (1, 1), kernel_init=kinit, dtype=self.dtype, name="key_conv")(x)
+        v = nn.Conv(C, (1, 1), kernel_init=kinit, dtype=self.dtype, name="value_conv")(x)
         n = H * W
         q = q.reshape(B, n, C // 8)
         k = k.reshape(B, n, C // 8)

@@ -13,7 +13,7 @@ The bilinear upsample uses half-pixel (align_corners=False) coordinates like
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -46,11 +46,14 @@ class UnetSkipConnectionBlock(nn.Module):
     self_attn: bool = False
     use_dropout: bool = False
     activation: Optional[str] = None
+    dtype: Optional[Any] = None
 
     def _norm(self, train: bool):
         if self.norm == "instance":
-            return InstanceNorm(affine=False)
-        return SyncBatchNorm(use_running_average=not train, init_gain=0.02)
+            return InstanceNorm(affine=False, dtype=self.dtype)
+        return SyncBatchNorm(
+            use_running_average=not train, init_gain=0.02, dtype=self.dtype
+        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -70,12 +73,13 @@ class UnetSkipConnectionBlock(nn.Module):
             h = down_act(h)
         h = nn.Conv(
             self.inner_nc, (4, 4), strides=(2, 2), padding=_PAD1,
-            use_bias=use_bias, kernel_init=kinit, name="downconv",
+            use_bias=use_bias, kernel_init=kinit, dtype=self.dtype,
+            name="downconv",
         )(h)
         if not self.outermost and not self.innermost:
             h = self._norm(train)(h)
         if self.self_attn:
-            h = SelfAttention(name="down_attn")(h)
+            h = SelfAttention(dtype=self.dtype, name="down_attn")(h)
 
         if self.submodule is not None:
             h = self.submodule(h, train=train)
@@ -84,11 +88,12 @@ class UnetSkipConnectionBlock(nn.Module):
         h = upsample_bilinear_2x(h)
         h = nn.Conv(
             self.outer_nc, (3, 3), padding=_PAD1,
-            use_bias=use_bias, kernel_init=kinit, name="upconv",
+            use_bias=use_bias, kernel_init=kinit, dtype=self.dtype,
+            name="upconv",
         )(h)
         h = self._norm(train)(h)
         if self.self_attn:
-            h = SelfAttention(name="up_attn")(h)
+            h = SelfAttention(dtype=self.dtype, name="up_attn")(h)
         if self.use_dropout and not self.outermost and not self.innermost:
             h = nn.Dropout(0.5, deterministic=not train)(h)
 
@@ -110,6 +115,7 @@ class UnetGenerator(nn.Module):
     use_dropout: bool = False
     use_self_attn: bool = False
     activation: Optional[str] = None
+    dtype: Optional[Any] = None
 
     def setup(self):
         num_attention = self.num_attention
@@ -118,7 +124,8 @@ class UnetGenerator(nn.Module):
             return bool(self.use_self_attn) and num_attention > 0
 
         kwargs = dict(
-            norm=self.norm, use_dropout=False, activation=self.activation
+            norm=self.norm, use_dropout=False, activation=self.activation,
+            dtype=self.dtype,
         )
         block = UnetSkipConnectionBlock(
             self.ngf * 8, self.ngf * 8, innermost=True,
@@ -130,7 +137,7 @@ class UnetGenerator(nn.Module):
                 self.ngf * 8, self.ngf * 8, submodule=block,
                 self_attn=attn_on(),
                 norm=self.norm, use_dropout=self.use_dropout,
-                activation=self.activation,
+                activation=self.activation, dtype=self.dtype,
             )
             num_attention -= 1
         for mult_outer, mult_inner in ((4, 8), (2, 4), (1, 2)):

@@ -8,6 +8,8 @@ TpsGridGen (116-318). The correlation and TPS math live in
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -25,6 +27,7 @@ class FeatureExtraction(nn.Module):
     ngf: int = 64
     n_layers: int = 3
     init_gain: float = 0.02
+    dtype: Optional[Any] = None  # compute dtype (bf16 policy); params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -32,21 +35,24 @@ class FeatureExtraction(nn.Module):
 
         def bn(h):
             return SyncBatchNorm(
-                use_running_average=not train, init_gain=self.init_gain
+                use_running_average=not train, init_gain=self.init_gain,
+                dtype=self.dtype,
             )(h)
 
-        h = nn.Conv(self.ngf, (4, 4), strides=(2, 2), padding=_PAD1, kernel_init=kinit)(x)
+        h = nn.Conv(self.ngf, (4, 4), strides=(2, 2), padding=_PAD1,
+                    kernel_init=kinit, dtype=self.dtype)(x)
         h = nn.relu(h)
         h = bn(h)
         for i in range(self.n_layers):
             out_ngf = 2 ** (i + 1) * self.ngf if 2 ** i * self.ngf < 512 else 512
-            h = nn.Conv(out_ngf, (4, 4), strides=(2, 2), padding=_PAD1, kernel_init=kinit)(h)
+            h = nn.Conv(out_ngf, (4, 4), strides=(2, 2), padding=_PAD1,
+                        kernel_init=kinit, dtype=self.dtype)(h)
             h = nn.relu(h)
             h = bn(h)
-        h = nn.Conv(512, (3, 3), padding=_PAD1, kernel_init=kinit)(h)
+        h = nn.Conv(512, (3, 3), padding=_PAD1, kernel_init=kinit, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = bn(h)
-        h = nn.Conv(512, (3, 3), padding=_PAD1, kernel_init=kinit)(h)
+        h = nn.Conv(512, (3, 3), padding=_PAD1, kernel_init=kinit, dtype=self.dtype)(h)
         h = nn.relu(h)
         return h
 
@@ -61,6 +67,7 @@ class FeatureRegression(nn.Module):
 
     output_dim: int = 6
     init_gain: float = 0.02
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -76,9 +83,12 @@ class FeatureRegression(nn.Module):
         def block(h, feats, ksize, stride):
             h = nn.Conv(
                 feats, (ksize, ksize), strides=(stride, stride),
-                padding=_PAD1, kernel_init=kinit,
+                padding=_PAD1, kernel_init=kinit, dtype=self.dtype,
             )(h)
-            h = SyncBatchNorm(use_running_average=not train, init_gain=self.init_gain)(h)
+            h = SyncBatchNorm(
+                use_running_average=not train, init_gain=self.init_gain,
+                dtype=self.dtype,
+            )(h)
             return nn.relu(h)
 
         h = block(x, 512, 4, 2)
@@ -87,8 +97,9 @@ class FeatureRegression(nn.Module):
         h = block(h, 64, 3, 1)
         B = h.shape[0]
         h = h.transpose(0, 3, 1, 2).reshape(B, -1)  # torch (C,H,W) flatten order
-        h = nn.Dense(self.output_dim, kernel_init=kinit)(h)
-        return jnp.tanh(h)
+        h = nn.Dense(self.output_dim, kernel_init=kinit, dtype=self.dtype)(h)
+        # theta feeds TPS sampling coordinates: keep full precision
+        return jnp.tanh(h).astype(jnp.float32)
 
 
 class GMM(nn.Module):
@@ -100,13 +111,16 @@ class GMM(nn.Module):
     fine_width: int = 192
     grid_size: int = 5
     ngf: int = 64
+    dtype: Optional[Any] = None
 
     def setup(self):
-        self.extractionA = FeatureExtraction(ngf=self.ngf)
-        self.extractionB = FeatureExtraction(ngf=self.ngf)
+        self.extractionA = FeatureExtraction(ngf=self.ngf, dtype=self.dtype)
+        self.extractionB = FeatureExtraction(ngf=self.ngf, dtype=self.dtype)
         feat_h = self.fine_height // 16
         feat_w = self.fine_width // 16
-        self.regression = FeatureRegression(output_dim=2 * self.grid_size ** 2)
+        self.regression = FeatureRegression(
+            output_dim=2 * self.grid_size ** 2, dtype=self.dtype
+        )
         self._tps = TpsGridGen(self.fine_height, self.fine_width, self.grid_size)
         self._feat_hw = (feat_h, feat_w)
 

@@ -10,7 +10,7 @@ pyramid (k3 s2, count_include_pad=False).
 
 from __future__ import annotations
 
-from typing import List, Union
+from typing import Any, List, Optional, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ class NLayerDiscriminator(nn.Module):
     init_type: str = "xavier"
     init_gain: float = 0.02
     get_intermediate_features: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -53,7 +54,7 @@ class NLayerDiscriminator(nn.Module):
                 feats, (kw, kw), strides=(stride, stride), padding=_PAD2,
                 # bias dropped when a norm follows (normalization.py:33-36)
                 use_bias=not normed or subnorm == "none",
-                kernel_init=kinit, name=name,
+                kernel_init=kinit, dtype=self.dtype, name=name,
             )
             if spectral:
                 return nn.SpectralNorm(layer)(h, update_stats=update_stats)
@@ -63,9 +64,11 @@ class NLayerDiscriminator(nn.Module):
             if subnorm in ("none", ""):
                 return h
             if subnorm == "instance":
-                return InstanceNorm(affine=False)(h)
+                return InstanceNorm(affine=False, dtype=self.dtype)(h)
             if subnorm in ("batch", "sync_batch"):
-                return SyncBatchNorm(use_running_average=not train)(h)
+                return SyncBatchNorm(
+                    use_running_average=not train, dtype=self.dtype
+                )(h)
             raise ValueError(f"unrecognized norm_D: {self.norm_D}")
 
         results = []
@@ -98,6 +101,7 @@ class MultiscaleDiscriminator(nn.Module):
     init_type: str = "xavier"
     init_gain: float = 0.02
     get_intermediate_features: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True, update_stats: bool = False):
@@ -111,6 +115,7 @@ class MultiscaleDiscriminator(nn.Module):
                 init_type=self.init_type,
                 init_gain=self.init_gain,
                 get_intermediate_features=self.get_intermediate_features,
+                dtype=self.dtype,
                 name=f"discriminator_{i}",
             )(h, train=train, update_stats=update_stats)
             if not self.get_intermediate_features:

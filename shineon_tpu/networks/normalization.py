@@ -12,7 +12,7 @@ axis IS a cross-replica reduction — GSPMD inserts the all-reduce. Under
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -27,13 +27,18 @@ class InstanceNorm(nn.Module):
 
     epsilon: float = 1e-5
     affine: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (..., H, W, C); normalize over H, W per sample/channel.
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x, axis=(-3, -2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # statistics in f32 for stability regardless of the compute dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+        var = jnp.var(xf, axis=(-3, -2), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(
+            self.dtype or x.dtype
+        )
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
             bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
@@ -60,6 +65,7 @@ class SyncBatchNorm(nn.Module):
     affine: bool = True
     axis_name: Optional[str] = None
     init_gain: Optional[float] = None  # if set, scale ~ N(1, gain)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
@@ -80,6 +86,7 @@ class SyncBatchNorm(nn.Module):
             use_scale=self.affine,
             scale_init=scale_init,
             axis_name=self.axis_name,
+            dtype=self.dtype,
         )(x)
 
 

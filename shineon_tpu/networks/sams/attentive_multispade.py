@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from typing import Any, Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -14,6 +16,7 @@ from shineon_tpu.networks.sams.spade import SPADE, parse_spade_config
 class AttentiveMultiSpade(nn.Module):
     config_text: str = "spadeinstance3x3"
     activation: str = "relu"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, seg, train: bool = True):
@@ -23,12 +26,14 @@ class AttentiveMultiSpade(nn.Module):
             SPADE(
                 config_text=self.config_text,
                 activation=self.activation,
+                dtype=self.dtype,
                 name=f"spade_{key}",
             )(x, labelmaps[key], train=train)
             for key in sorted(labelmaps.keys())
         ]
         together = jnp.concatenate(outputs, axis=-1)
-        attended = SelfAttention(name="attention_layer")(together)
+        attended = SelfAttention(dtype=self.dtype, name="attention_layer")(together)
         pad = ((ks // 2, ks // 2),) * 2
-        out = nn.Conv(x.shape[-1], (ks, ks), padding=pad, name="mlp_final")(attended)
+        out = nn.Conv(x.shape[-1], (ks, ks), padding=pad, dtype=self.dtype,
+                      name="mlp_final")(attended)
         return nn.leaky_relu(out, negative_slope=0.01)

@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Union
+from typing import Any, Dict, Mapping, Optional, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,6 +25,7 @@ class MultiSpade(nn.Module):
 
     config_text: str = "spadeinstance3x3"
     activation: str = "relu"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, seg, train: bool = True):
@@ -33,6 +34,7 @@ class MultiSpade(nn.Module):
             x = SPADE(
                 config_text=self.config_text,
                 activation=self.activation,
+                dtype=self.dtype,
                 name=f"spade_{key}",
             )(x, labelmaps[key], train=train)
         return x

@@ -12,7 +12,7 @@ placement by (possibly negative) string indices.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -49,6 +49,7 @@ class SamsGenerator(nn.Module):
     flow_warp: bool = False
     encoder_input: str = "flow"
     inputs: Tuple[str, ...] = ("agnostic", "cloth", "densepose", "flow")
+    dtype: Optional[Any] = None
 
     @staticmethod
     def modify_commandline_options(parser, is_train):
@@ -136,11 +137,13 @@ class SamsGenerator(nn.Module):
             AnySpadeResBlock,
             norm_G=self.norm_G,
             activation=self.activation,
+            dtype=self.dtype,
         )
         spade_kwargs = dict(train=train, update_stats=update_stats)
 
         # ----- ENCODE -----
-        x = nn.Conv(NGF_OUTER, (3, 3), padding=pad1, name="encode_conv_in")(x)
+        x = nn.Conv(NGF_OUTER, (3, 3), padding=pad1, dtype=self.dtype,
+                    name="encode_conv_in")(x)
         enc_pows = list(range(self.ngf_pow_outer, self.ngf_pow_inner, self.ngf_pow_step))
         out_feat = NGF_OUTER
         for i, pow_ in enumerate(enc_pows):
@@ -186,8 +189,10 @@ class SamsGenerator(nn.Module):
             x = block(
                 fin=out_feat, fout=NGF_OUTER, spade_ctor=spade_cls, name="decode_extra"
             )(x, current, **spade_kwargs)
-        x = nn.Conv(out_channels, (3, 3), padding=pad1, name="decode_conv_out")(x)
-        return x
+        x = nn.Conv(out_channels, (3, 3), padding=pad1, dtype=self.dtype,
+                    name="decode_conv_out")(x)
+        # composite/warp math downstream runs in f32
+        return x.astype(jnp.float32)
 
 
 def _choose_spade(attn_indices: Sequence[str], i: int, total_layers: int):

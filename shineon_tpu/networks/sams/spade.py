@@ -9,7 +9,7 @@ over the (globally sharded) batch — see shineon_tpu.networks.normalization.
 from __future__ import annotations
 
 import re
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -47,23 +47,29 @@ class SPADE(nn.Module):
     config_text: str = "spadeinstance3x3"
     activation: str = "relu"
     nhidden: int = 128  # hardcoded in the reference too (spade.py:68)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray, train: bool = True):
         norm_type, ks = parse_spade_config(self.config_text)
         if norm_type == "instance":
-            normalized = InstanceNorm(affine=False)(x)
+            normalized = InstanceNorm(affine=False, dtype=self.dtype)(x)
         else:
             # batch/syncbatch: both are global-batch statistics under pjit.
-            normalized = SyncBatchNorm(use_running_average=not train, affine=False)(x)
+            normalized = SyncBatchNorm(
+                use_running_average=not train, affine=False, dtype=self.dtype
+            )(x)
 
         segmap = _resize_nearest(segmap, x.shape[-3], x.shape[-2]).astype(x.dtype)
         pad = ((ks // 2, ks // 2), (ks // 2, ks // 2))
         actvn = get_activation_fn(self.activation)
-        h = nn.Conv(self.nhidden, (ks, ks), padding=pad, name="mlp_shared")(segmap)
+        h = nn.Conv(self.nhidden, (ks, ks), padding=pad, dtype=self.dtype,
+                    name="mlp_shared")(segmap)
         h = actvn(h)
-        gamma = nn.Conv(x.shape[-1], (ks, ks), padding=pad, name="mlp_gamma")(h)
-        beta = nn.Conv(x.shape[-1], (ks, ks), padding=pad, name="mlp_beta")(h)
+        gamma = nn.Conv(x.shape[-1], (ks, ks), padding=pad, dtype=self.dtype,
+                        name="mlp_gamma")(h)
+        beta = nn.Conv(x.shape[-1], (ks, ks), padding=pad, dtype=self.dtype,
+                       name="mlp_beta")(h)
         return normalized * (1.0 + gamma) + beta
 
 
@@ -80,6 +86,7 @@ class AnySpadeResBlock(nn.Module):
     norm_G: str
     spade_ctor: type = SPADE  # bound via functools.partial with its kwargs
     activation: str = "relu"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, seg, train: bool = True, update_stats: bool = False):
@@ -91,14 +98,16 @@ class AnySpadeResBlock(nn.Module):
 
         def conv(h, feats, ksize, use_bias, name):
             pad = ((ksize // 2, ksize // 2),) * 2
-            layer = nn.Conv(feats, (ksize, ksize), padding=pad, use_bias=use_bias, name=name)
+            layer = nn.Conv(feats, (ksize, ksize), padding=pad, use_bias=use_bias,
+                            dtype=self.dtype, name=name)
             if spectral:
                 return nn.SpectralNorm(layer)(h, update_stats=update_stats)
             return layer(h)
 
         def spade(name):
             return self.spade_ctor(
-                config_text=spade_config, activation=self.activation, name=name
+                config_text=spade_config, activation=self.activation,
+                dtype=self.dtype, name=name,
             )
 
         if learned_shortcut:

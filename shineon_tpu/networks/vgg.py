@@ -17,7 +17,7 @@ ImageNet renormalization.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -39,6 +39,8 @@ _POOL_BEFORE_LAST = (False, True, True, True, True)
 class Vgg19Features(nn.Module):
     """Returns the 5 relu activations used by VGGLoss."""
 
+    dtype: Optional[Any] = None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         outs = []
@@ -48,7 +50,8 @@ class Vgg19Features(nn.Module):
                 if pool_last and j == len(plan) - 1:
                     x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 x = nn.Conv(
-                    feats, (3, 3), padding=((1, 1), (1, 1)), name=f"conv{idx}"
+                    feats, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name=f"conv{idx}"
                 )(x)
                 x = nn.relu(x)
                 idx += 1

@@ -20,23 +20,23 @@ KEY = jax.random.PRNGKey(420)
 
 
 def test_gmm_shapes():
-    model = GMM(fine_height=64, fine_width=48, grid_size=5)
-    person = jnp.zeros((2, 64, 48, 22))  # agnostic(4) + cocopose(18)
-    cloth = jnp.zeros((2, 64, 48, 3))
+    model = GMM(fine_height=128, fine_width=96, grid_size=5)
+    person = jnp.zeros((2, 128, 96, 22))  # agnostic(4) + cocopose(18)
+    cloth = jnp.zeros((2, 128, 96, 3))
     variables = model.init(KEY, person, cloth)
     (grid, theta), _ = model.apply(
         variables, person, cloth, mutable=["batch_stats"]
     )
-    assert grid.shape == (2, 64, 48, 2)
+    assert grid.shape == (2, 128, 96, 2)
     assert theta.shape == (2, 50)
     assert np.abs(np.asarray(theta)).max() <= 1.0  # tanh range
 
 
 def test_gmm_feature_resolution():
-    # 4 stride-2 downs: 64x48 -> 4x3 feature map, correlation channels = 4*3
-    model = GMM(fine_height=64, fine_width=48, grid_size=3)
-    person = jnp.zeros((1, 64, 48, 4))
-    cloth = jnp.zeros((1, 64, 48, 3))
+    # 4 stride-2 downs: 128x96 -> 8x6 feature map, theta = 2*grid_size**2
+    model = GMM(fine_height=128, fine_width=96, grid_size=3)
+    person = jnp.zeros((1, 128, 96, 4))
+    cloth = jnp.zeros((1, 128, 96, 3))
     variables = model.init(KEY, person, cloth)
     (grid, theta), _ = model.apply(variables, person, cloth, mutable=["batch_stats"])
     assert theta.shape == (1, 18)
