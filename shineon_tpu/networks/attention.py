@@ -42,9 +42,11 @@ class SelfAttention(nn.Module):
         q = q.reshape(B, n, C // 8)
         k = k.reshape(B, n, C // 8)
         v = v.reshape(B, n, C)
-        energy = jnp.einsum("bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32)
-        attn = nn.softmax(energy, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bnm,bmc->bnc", attn, v, preferred_element_type=jnp.float32)
+        # fused Pallas kernel on TPU (keeps the n x n attention matrix in
+        # VMEM); einsum fallback elsewhere — see ops/fused_attention.py
+        from shineon_tpu.ops.fused_attention import sagan_attention
+
+        out = sagan_attention(q, k, v)
         out = out.reshape(B, H, W, C).astype(x.dtype)
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
         return gamma * out + x
