@@ -201,10 +201,28 @@ class TryonDataset(BaseDataset, ABC):
 
     def get_flow_raw(self, index: int) -> Dict[str, np.ndarray]:
         """.flo flow + optional visualization; zeros fallback
-        (tryon_dataset.py:272-298)."""
+        (tryon_dataset.py:272-298).
+
+        Fast path: the native C++ staging library (shineon_tpu/native) reads,
+        validates, and center-crops the .flo payload in one pass; the
+        visualize_flow debug path stays in Python (it re-reads for the
+        colorized rendering)."""
         ret: Dict[str, np.ndarray] = {}
         try:
-            flow_np = read_flow(self.get_person_flow_path(index))
+            path = self.get_person_flow_path(index)
+        except (NotImplementedError, TypeError):
+            path = None
+        if path is not None and not self.opt.visualize_flow:
+            from shineon_tpu.native import read_flo_batch
+
+            flow, valid = read_flo_batch(
+                [path], self.fine_height, self.fine_width, n_threads=1
+            )
+            ret["flow_raw"] = flow[0]
+            ret["flow_valid"] = np.float32(valid[0])
+            return ret
+        try:
+            flow_np = read_flow(path)
             ret["flow_raw"] = self.center_crop(flow_np.astype(np.float32))
             ret["flow_valid"] = np.float32(1.0)
             if self.opt.visualize_flow:
