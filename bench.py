@@ -40,7 +40,7 @@ from __graft_entry__ import _raw_batch, _sams_opt
 TARGET_BAR_FPS = 120.0  # 5x an estimated ~24 fps A100 torch pipeline
 # serving batch: throughput saturates ~batch 8 on v5e (122.6 f/s gen-only at 8,
 # 125.2 at 16); model/resolution stay at the reference production config
-BATCH = 8
+BATCH = 16
 ITERS = 8
 
 

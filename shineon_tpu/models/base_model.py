@@ -85,6 +85,7 @@ class BaseModel(abc.ABC):
         """Re-apply current CLI values after a checkpoint load
         (base_model.py:76-89)."""
         self.opt = opt
+        self.is_train = opt.is_train
         if not self.is_train:
             ckpt_name = osp.basename(osp.normpath(opt.checkpoint)) if opt.checkpoint else "scratch"
             self.test_results_dir = osp.join(

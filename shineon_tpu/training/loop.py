@@ -38,7 +38,23 @@ logger = get_logger()
 class Trainer:
     def __init__(self, opt, mesh=None):
         self.opt = opt
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # use the largest device count that divides the per-process batch
+            # (the batch axis must shard evenly over the data mesh)
+            import jax as _jax
+
+            devices = _jax.devices()
+            usable = len(devices)
+            batch = getattr(opt, "batch_size", 1)
+            while usable > 1 and batch % usable != 0:
+                usable -= 1
+            if usable != len(devices):
+                logger.warning(
+                    f"batch_size {batch} not divisible by {len(devices)} "
+                    f"devices; using a {usable}-device data mesh."
+                )
+            mesh = make_mesh(devices[:usable])
+        self.mesh = mesh
         self.experiment_dir = osp.join(opt.experiments_dir, opt.name)
         os.makedirs(self.experiment_dir, exist_ok=True)
         self.board = self._make_board()
