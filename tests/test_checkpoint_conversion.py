@@ -122,3 +122,115 @@ def test_gmm_forward_parity_via_converted_checkpoint(rng):
     np.testing.assert_allclose(
         np.asarray(grid), np.asarray(gen(jnp.asarray(theta_t))), atol=1e-4
     )
+
+
+# ---------------------------------------------------------------- U-Net (TOM)
+
+class _TorchSelfAttention(tnn.Module):
+    """SAGAN block with the reference layer names (attention/sagan.py:5-54)."""
+
+    def __init__(self, in_dim):
+        super().__init__()
+        self.query_conv = tnn.Conv2d(in_dim, in_dim // 8, 1)
+        self.key_conv = tnn.Conv2d(in_dim, in_dim // 8, 1)
+        self.value_conv = tnn.Conv2d(in_dim, in_dim, 1)
+        self.gamma = tnn.Parameter(torch.zeros(1))
+
+    def forward(self, x):
+        b, c, w, h = x.shape
+        q = self.query_conv(x).view(b, -1, w * h).permute(0, 2, 1)
+        k = self.key_conv(x).view(b, -1, w * h)
+        attn = torch.softmax(torch.bmm(q, k), dim=-1)
+        v = self.value_conv(x).view(b, -1, w * h)
+        out = torch.bmm(v, attn.permute(0, 2, 1)).view(b, c, w, h)
+        return self.gamma * out + x
+
+
+class _TorchUnetBlock(tnn.Module):
+    """Reference UnetSkipConnectionBlock layer plan (cpvton/unet.py:103-198),
+    instance-norm variant."""
+
+    def __init__(self, outer_nc, inner_nc, input_nc=None, submodule=None,
+                 outermost=False, innermost=False, self_attn=False):
+        super().__init__()
+        self.outermost = outermost
+        if input_nc is None:
+            input_nc = outer_nc
+        downconv = tnn.Conv2d(input_nc, inner_nc, 4, 2, 1, bias=True)
+        down_act = tnn.LeakyReLU(0.2, True)
+        up_act = tnn.ReLU(True)
+        upsample = tnn.Upsample(scale_factor=2, mode="bilinear")
+
+        def upconv(cin, cout):
+            return tnn.Conv2d(cin, cout, 3, 1, 1, bias=True)
+
+        norm = tnn.InstanceNorm2d(outer_nc, affine=False)
+        if outermost:
+            down = [downconv]
+            up = [up_act, upsample, upconv(inner_nc * 2, outer_nc), norm]
+        elif innermost:
+            down = [down_act, downconv]
+            up = [up_act, upsample, upconv(inner_nc, outer_nc), norm]
+        else:
+            down = [down_act, downconv, tnn.InstanceNorm2d(inner_nc, affine=False)]
+            up = [up_act, upsample, upconv(inner_nc * 2, outer_nc), norm]
+        if self_attn:
+            down.append(_TorchSelfAttention(inner_nc))
+            up.append(_TorchSelfAttention(outer_nc))
+        mid = [submodule] if submodule is not None else []
+        self.model = tnn.Sequential(*(down + mid + up))
+
+    def forward(self, x):
+        if self.outermost:
+            return self.model(x)
+        return torch.cat([x, self.model(x)], 1)
+
+
+def _torch_unet(input_nc, output_nc, num_downs, num_attention, ngf):
+    na = num_attention
+    block = _TorchUnetBlock(ngf * 8, ngf * 8, innermost=True, self_attn=na > 0)
+    na -= 1
+    for _ in range(num_downs - 5):
+        block = _TorchUnetBlock(ngf * 8, ngf * 8, submodule=block, self_attn=na > 0)
+        na -= 1
+    for mo, mi in ((4, 8), (2, 4), (1, 2)):
+        block = _TorchUnetBlock(ngf * mo, ngf * mi, submodule=block, self_attn=na > 0)
+        na -= 1
+    outer = _TorchUnetBlock(output_nc, ngf, input_nc=input_nc, submodule=block,
+                            outermost=True, self_attn=na > 0)
+
+    class _Wrap(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = outer
+
+        def forward(self, x):
+            return self.model(x)
+
+    return _Wrap()
+
+
+def test_unet_forward_parity_via_converted_checkpoint(rng):
+    from tools.convert_lightning_checkpoint import convert_unet_state_dict
+
+    torch.manual_seed(7)
+    tmodel = _torch_unet(input_nc=7, output_nc=4, num_downs=6,
+                         num_attention=2, ngf=8).eval()
+    x = rng.randn(2, 7, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        out_t = tmodel(torch.from_numpy(x)).numpy()
+
+    sd = {f"unet.{k}": v for k, v in tmodel.state_dict().items()}
+    variables = convert_unet_state_dict(sd)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    from shineon_tpu.networks.cpvton import UnetGenerator
+
+    jmodel = UnetGenerator(input_nc=7, output_nc=4, num_downs=6,
+                           num_attention=2, ngf=8, norm="instance",
+                           use_self_attn=True)
+    out_j = jmodel.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4
+    )

@@ -94,9 +94,95 @@ def convert_warp_state_dict(state_dict) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+
+
+def _collect_block_children(sd, prefix: str):
+    """Classify the children of one UnetSkipConnectionBlock Sequential.
+
+    Returns an ordered list of (kind, torch_prefix) with kind in
+    {conv, norm, attn, submodule} — norm only appears for the batch-norm
+    variant (InstanceNorm2d affine=False has no parameters)."""
+    import re
+
+    indices = {}
+    pat = re.compile(re.escape(prefix) + r"\.model\.(\d+)(\.|$)")
+    for key in sd:
+        m = pat.match(key)
+        if m:
+            indices.setdefault(int(m.group(1)), []).append(key)
+    children = []
+    for i in sorted(indices):
+        keys = indices[i]
+        base = f"{prefix}.model.{i}"
+        if any(k.startswith(base + ".model.") for k in keys):
+            children.append(("submodule", base))
+        elif any(k.startswith(base + ".query_conv") for k in keys):
+            children.append(("attn", base))
+        elif any(k == base + ".running_mean" for k in keys):
+            children.append(("norm", base))
+        elif any(k == base + ".weight" for k in keys):
+            children.append(("conv", base))
+    return children
+
+
+def _attn_params(sd, prefix: str):
+    out = {}
+    for name in ("query_conv", "key_conv", "value_conv"):
+        out[name] = _conv(sd, f"{prefix}.{name}")
+    out["gamma"] = np.asarray(sd[prefix + ".gamma"]).reshape(1)
+    return out
+
+
+def convert_unet_block(sd, torch_prefix: str):
+    """Recursively convert one UnetSkipConnectionBlock (cpvton/unet.py:103-198).
+
+    Sequential order inside a block: downconv [, downnorm][, down_attn]
+    [, submodule], then upconv [, upnorm][, up_attn] — activations/upsamples
+    carry no parameters and are invisible in the state_dict."""
+    children = _collect_block_children(sd, torch_prefix)
+    params = {}
+    stats = {}
+    conv_seen = 0
+    norm_seen = 0
+    before_upconv = True
+    for kind, base in children:
+        if kind == "conv":
+            conv_seen += 1
+            if conv_seen == 1:
+                params["downconv"] = _conv(sd, base)
+            else:
+                params["upconv"] = _conv(sd, base)
+                before_upconv = False
+        elif kind == "attn":
+            name = "down_attn" if before_upconv and conv_seen == 1 else "up_attn"
+            params[name] = _attn_params(sd, base)
+        elif kind == "norm":
+            p, s = _bn(sd, base)
+            params[f"SyncBatchNorm_{norm_seen}"] = {"BatchNorm_0": p}
+            stats[f"SyncBatchNorm_{norm_seen}"] = {"BatchNorm_0": s}
+            norm_seen += 1
+        elif kind == "submodule":
+            sub_p, sub_s = convert_unet_block(sd, base)
+            params["submodule"] = sub_p
+            if sub_s:
+                stats["submodule"] = sub_s
+            before_upconv = False
+    return params, stats
+
+
+def convert_unet_state_dict(state_dict, torch_prefix: str = "unet") -> Dict:
+    """Reference UnetGenerator state_dict (TOM: instance norm) -> flax
+    variables for shineon_tpu.networks.cpvton.UnetGenerator."""
+    params, stats = convert_unet_block(state_dict, f"{torch_prefix}.model")
+    out = {"params": {"model": params}}
+    if stats:
+        out["batch_stats"] = {"model": stats}
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--model", choices=("warp",), required=True)
+    parser.add_argument("--model", choices=("warp", "unet_mask"), required=True)
     parser.add_argument("--ckpt", required=True, help="Lightning .ckpt path")
     parser.add_argument("--out", required=True, help="output Orbax dir")
     args = parser.parse_args()
@@ -109,6 +195,8 @@ def main():
 
     if args.model == "warp":
         variables = convert_warp_state_dict(state_dict)
+    elif args.model == "unet_mask":
+        variables = convert_unet_state_dict(state_dict)
     else:
         raise NotImplementedError(args.model)
 
