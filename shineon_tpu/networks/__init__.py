@@ -63,3 +63,39 @@ def modify_commandline_options(parser: argparse.ArgumentParser, is_train: bool):
     if is_train:
         parser = add_discriminator_options(parser, is_train)
     return parser
+
+
+def count_parameters(params) -> int:
+    """Total parameter count (BaseNetwork.print_network capability,
+    base_network.py:31-40)."""
+    import jax
+
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def print_network(name: str, params) -> None:
+    print(
+        "Network [%s] was created. Total number of parameters: %.1f million."
+        % (name, count_parameters(params) / 1e6)
+    )
+
+
+def define_D(name: str, opt, **kwargs):
+    """Build a discriminator by name (reference networks/__init__.py:47-49)."""
+    cls = find_network_using_name(name, "discriminator")
+    return cls(
+        num_D=getattr(opt, "num_D", 2),
+        ndf=getattr(opt, "ndf", 64),
+        n_layers=getattr(opt, "n_layers_D", 4),
+        norm_D=getattr(opt, "norm_D", "spectralinstance"),
+        init_type=getattr(opt, "init_type", "xavier"),
+        init_gain=getattr(opt, "init_variance", 0.02),
+        **kwargs,
+    ) if name == "multiscale" else cls(
+        ndf=getattr(opt, "ndf", 64),
+        n_layers=getattr(opt, "n_layers_D", 4),
+        norm_D=getattr(opt, "norm_D", "spectralinstance"),
+        init_type=getattr(opt, "init_type", "xavier"),
+        init_gain=getattr(opt, "init_variance", 0.02),
+        **kwargs,
+    )

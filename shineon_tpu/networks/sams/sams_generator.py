@@ -25,6 +25,12 @@ from shineon_tpu.networks.sams.spade import SPADE, AnySpadeResBlock
 
 
 def _resize_nearest_scale(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """torch nn.Upsample(mode="nearest") semantics: 0.5x keeps the EVEN pixels
+    (strided slice), 2x repeats each pixel."""
+    if scale == 0.5:
+        return x[:, ::2, ::2, :]
+    if scale == 2.0:
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     B, H, W, C = x.shape
     return jax.image.resize(
         x, (B, int(H * scale), int(W * scale), C), method="nearest"

@@ -36,8 +36,16 @@ def parse_spade_config(config_text: str) -> tuple[str, int]:
 
 
 def _resize_nearest(segmap: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    shape = segmap.shape[:-3] + (h, w, segmap.shape[-1])
-    return jax.image.resize(segmap, shape, method="nearest")
+    """torch F.interpolate(mode="nearest") semantics: src = floor(dst * in/out)
+    (jax.image.resize uses half-pixel rounding, which picks different pixels
+    on downscale — parity with converted checkpoints requires torch's rule)."""
+    in_h, in_w = segmap.shape[-3], segmap.shape[-2]
+    if (in_h, in_w) == (h, w):
+        return segmap
+    rows = jnp.floor(jnp.arange(h) * (in_h / h)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(w) * (in_w / w)).astype(jnp.int32)
+    out = jnp.take(segmap, rows, axis=-3)
+    return jnp.take(out, cols, axis=-2)
 
 
 class SPADE(nn.Module):

@@ -137,3 +137,22 @@ def resample2d(
     ny = 2.0 * gy / (H - 1) - 1.0
     grid = jnp.stack([nx, ny], axis=-1)
     return grid_sample(image, grid, padding_mode=padding_mode, align_corners=True)
+
+
+def affine_grid(theta: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Affine sampling grid from 2x3 matrices (the reference's AffineGridGen,
+    cpvton/warp.py:102-113 — torch F.affine_grid semantics, align_corners=False).
+
+    Args:
+      theta: (B, 2, 3) affine parameters.
+    Returns: (B, height, width, 2) normalized sampling grid.
+    """
+    B = theta.shape[0]
+    # half-pixel-centered normalized base coordinates
+    xs = (jnp.arange(width, dtype=jnp.float32) * 2 + 1) / width - 1.0
+    ys = (jnp.arange(height, dtype=jnp.float32) * 2 + 1) / height - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)
+    ones = jnp.ones_like(gx)
+    base = jnp.stack([gx, gy, ones], axis=-1).reshape(-1, 3)  # (H*W, 3)
+    grid = jnp.einsum("bij,pj->bpi", theta.astype(jnp.float32), base)
+    return grid.reshape(B, height, width, 2)
