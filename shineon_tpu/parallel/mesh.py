@@ -60,3 +60,51 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
         else:
             out[key] = jax.device_put(value, sharding)
     return out
+
+
+def make_mesh_2d(
+    dp: int, sp: int, devices: Optional[Sequence] = None,
+    axis_names=("data", "space"),
+) -> Mesh:
+    """2-D mesh: batch over "data", image height over "space".
+
+    The reference has no tensor/sequence parallelism (SURVEY §2.10) — its
+    spatial extents fit one chip — but at larger resolutions XLA's GSPMD
+    spatially partitions the convolutions (automatic halo exchanges) when the
+    height axis is sharded, so the capability costs one axis annotation.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    assert dp * sp <= len(devices), (dp, sp, len(devices))
+    return Mesh(np.array(devices[: dp * sp]).reshape(dp, sp), axis_names)
+
+
+def spatial_sharding_for(
+    mesh: Mesh, shape, spatial_size: int, axis_name: str = "space",
+    batch_axis: str = "data",
+) -> NamedSharding:
+    """Batch axis over "data"; the first dim equal to ``spatial_size`` (the
+    image height) over "space"; everything else replicated."""
+    spec = [None] * len(shape)
+    if len(shape) >= 1:
+        spec[0] = batch_axis
+    for i in range(1, len(shape)):
+        if shape[i] == spatial_size:
+            spec[i] = axis_name
+            break
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch_spatial(
+    batch: dict, mesh: Mesh, spatial_size: int
+) -> dict:
+    """Like :func:`shard_batch` but also shards the height axis over "space"
+    when the mesh has one."""
+    if "space" not in mesh.axis_names:
+        return shard_batch(batch, mesh)
+    out = {}
+    for key, value in batch.items():
+        if not hasattr(value, "ndim"):
+            continue
+        sharding = spatial_sharding_for(mesh, value.shape, spatial_size)
+        out[key] = jax.device_put(value, sharding)
+    return out

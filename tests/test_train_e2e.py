@@ -227,3 +227,48 @@ def test_sams_train_step_updates_all_three_nets():
 
     val = model.make_val_step()(state1, batch)
     assert np.isfinite(float(val["checkpoint_on"]))
+
+
+def test_sams_train_step_on_2d_mesh_data_x_space():
+    """dp x sp mesh: batch over 'data', image height over 'space' — GSPMD
+    inserts the conv halo exchanges. Generated frames must match the
+    replicated run to reduction-order noise, and the fused train step must
+    produce finite losses.
+
+    (Losses themselves are NOT compared tightly: at random init the
+    autoregressive magnitudes are large, so ~1e-6 relative reduction-order
+    differences get amplified through the GAN losses.)"""
+    from shineon_tpu.models.sams_model import SamsModel
+    from shineon_tpu.parallel.mesh import (
+        make_mesh_2d,
+        replicated_sharding,
+        shard_batch_spatial,
+    )
+
+    opt = _sams_opt_tiny(batch_size=4)
+    model = SamsModel(opt)
+    state = model.init_state(jax.random.PRNGKey(6), steps_per_epoch=4)
+    raw = _raw_image_batch(opt, 4, frames=3)
+
+    mesh2d = make_mesh_2d(2, 2)
+    state2 = jax.device_put(state, replicated_sharding(mesh2d))
+    batch2 = shard_batch_spatial(raw, mesh2d, spatial_size=opt.fine_height)
+    batch1 = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    @jax.jit
+    def gen(state, batch):
+        feats = model.features(batch)
+        _, _, frames, _ = model.generate_n_frames(
+            state.nets["generator"].params, state.nets["generator"].stats,
+            feats, train=True,
+        )
+        return frames
+
+    frames2 = np.asarray(gen(state2, batch2))
+    frames1 = np.asarray(gen(state, batch1))
+    scale = max(np.abs(frames1).max(), 1.0)
+    assert np.abs(frames2 - frames1).max() / scale < 1e-4
+
+    _, metrics2d = model.make_train_step()(state2, batch2)
+    for key in ("loss", "loss/D/multi", "loss/D/temporal"):
+        assert np.isfinite(float(metrics2d[key])), key
