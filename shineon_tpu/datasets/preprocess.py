@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from shineon_tpu.datasets import channels

@@ -29,6 +29,7 @@ hinge-GAN semantics) so the adversarial objective actually trains G.
 from __future__ import annotations
 
 import argparse
+import functools
 import os.path as osp
 from typing import Dict, List
 
@@ -398,7 +399,7 @@ class SamsModel(BaseModel):
                 new_params, new_stats if new_stats is not None else net.stats, new_opt
             )
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, raw_batch: Dict):
             opt = self.opt
             feats = self.features(raw_batch)

@@ -9,6 +9,7 @@ the whole forward + loss + update is one fused jitted step.
 from __future__ import annotations
 
 import argparse
+import functools
 import math
 import os.path as osp
 from typing import Dict, List
@@ -184,7 +185,7 @@ class UnetMaskModel(BaseModel):
     def make_train_step(self):
         tx = self._tx
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, raw_batch: Dict):
             feats = self.features(raw_batch)
             net = state.nets["unet"]

@@ -13,7 +13,7 @@ The bilinear upsample uses half-pixel (align_corners=False) coordinates like
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -21,8 +21,6 @@ Inference-only: batch-norm-free variant (the released checkpoints), LeakyReLU
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

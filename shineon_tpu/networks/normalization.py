@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from shineon_tpu.networks.init import batchnorm_scale_init, kernel_init_for
+from shineon_tpu.networks.init import batchnorm_scale_init
 
 
 class InstanceNorm(nn.Module):

@@ -19,7 +19,6 @@ from shineon_tpu.networks.activation import (
     get_activation_fn,
     get_resblock_activation_fn,
 )
-from shineon_tpu.networks.init import kernel_init_for
 from shineon_tpu.networks.normalization import InstanceNorm, SyncBatchNorm
 
 

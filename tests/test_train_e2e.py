@@ -77,6 +77,8 @@ def test_warp_train_step_on_mesh():
     step = model.make_train_step()
     batch = _shard(_raw_image_batch(opt, 8), mesh)
 
+    # snapshot before stepping: the train step donates the state buffers
+    params_before = jax.tree_util.tree_map(np.asarray, state.nets["gmm"].params)
     state1, metrics = step(state, batch)
     loss0 = float(metrics["loss/G"])
     assert np.isfinite(loss0)
@@ -85,7 +87,7 @@ def test_warp_train_step_on_mesh():
     delta = jax.tree_util.tree_reduce(
         lambda acc, x: acc + float(jnp.abs(x).sum()),
         jax.tree_util.tree_map(
-            lambda a, b: a - b, state1.nets["gmm"].params, state.nets["gmm"].params
+            lambda a, b: np.asarray(a) - b, state1.nets["gmm"].params, params_before
         ),
         0.0,
     )
@@ -210,6 +212,10 @@ def test_sams_train_step_updates_all_three_nets():
     state = model.init_state(jax.random.PRNGKey(5), steps_per_epoch=4)
     state = jax.device_put(state, replicated_sharding(mesh))
     batch = _shard(_raw_image_batch(opt, 8, frames=3), mesh)
+    params_before = {
+        net: jax.tree_util.tree_map(np.asarray, state.nets[net].params)
+        for net in ("generator", "d_multi", "d_temporal")
+    }  # the train step donates the state buffers
     state1, metrics = model.make_train_step()(state, batch)
     for key in ("loss", "loss/G/adv_multiscale", "loss/G/adv_temporal",
                 "loss/D/multi", "loss/D/temporal"):
@@ -218,8 +224,8 @@ def test_sams_train_step_updates_all_three_nets():
         delta = jax.tree_util.tree_reduce(
             lambda acc, x: acc + float(jnp.abs(x).sum()),
             jax.tree_util.tree_map(
-                lambda a, b: a - b,
-                state1.nets[net].params, state.nets[net].params,
+                lambda a, b: np.asarray(a) - b,
+                state1.nets[net].params, params_before[net],
             ),
             0.0,
         )
