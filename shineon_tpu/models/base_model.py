@@ -62,6 +62,12 @@ class BaseModel(abc.ABC):
             "--flow_warp", action="store_true",
             help="Warp the previous frame with flow",
         )
+        parser.add_argument(
+            "--remat", action="store_true",
+            help="Rematerialize generator activations in the backward pass "
+            "(jax.checkpoint): trades recompute for HBM, enabling larger "
+            "clips/batches. (TPU-native extension; no reference equivalent.)",
+        )
         return parser
 
     def __init__(self, opt):

@@ -263,6 +263,17 @@ class SamsModel(BaseModel):
 
         mutable_keys = list(g_stats.keys()) or ["batch_stats"]
 
+        def _train_apply(variables, prev_frames, prev_maps, current_maps):
+            return self.generator.apply(
+                variables, prev_frames, prev_maps, current_maps,
+                train=True, update_stats=True, mutable=mutable_keys,
+            )
+
+        if getattr(self.opt, "remat", False):
+            # rematerialize each frame's generator activations in the backward
+            # pass: trades recompute FLOPs for HBM (enables bigger clips/batches)
+            _train_apply = jax.checkpoint(_train_apply)
+
         def body(carry, xs):
             buffer, stats = carry
             t, prev_maps, current_maps, flow_t = xs
@@ -271,9 +282,8 @@ class SamsModel(BaseModel):
             prev_frames = jax.lax.stop_gradient(rolled[:, : N - 1])
             variables = {"params": g_params, **stats}
             if train:
-                out, new_stats = self.generator.apply(
-                    variables, prev_frames, prev_maps, current_maps,
-                    train=True, update_stats=True, mutable=mutable_keys,
+                out, new_stats = _train_apply(
+                    variables, prev_frames, prev_maps, current_maps
                 )
                 stats = new_stats if new_stats else stats
             else:

@@ -278,3 +278,45 @@ def test_sams_train_step_on_2d_mesh_data_x_space():
     _, metrics2d = model.make_train_step()(state2, batch2)
     for key in ("loss", "loss/D/multi", "loss/D/temporal"):
         assert np.isfinite(float(metrics2d[key])), key
+
+
+def test_gradient_accumulation_matches_reference_semantics():
+    """--accumulated_batches k: params update only every k steps (the
+    reference's Lightning accumulate_grad_batches, train.py:107)."""
+    from shineon_tpu.models.warp_model import WarpModel
+
+    opt = _base_opt(accumulated_batches=2, batch_size=4)
+    model = WarpModel(opt)
+    state = model.init_state(jax.random.PRNGKey(9), steps_per_epoch=4)
+    step = model.make_train_step()
+    batch = {k: jnp.asarray(v) for k, v in _raw_image_batch(opt, 4).items()}
+    p0 = jax.tree_util.tree_map(np.asarray, state.nets["gmm"].params)
+    state, _ = step(state, batch)
+    p1 = jax.tree_util.tree_map(np.asarray, state.nets["gmm"].params)
+    # first micro-step: gradients accumulated, no update yet
+    deltas1 = [
+        float(np.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1))
+    ]
+    assert max(deltas1) == 0.0
+    state, _ = step(state, batch)
+    p2 = jax.tree_util.tree_map(np.asarray, state.nets["gmm"].params)
+    deltas2 = [
+        float(np.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2))
+    ]
+    assert max(deltas2) > 0.0
+
+
+def test_sams_remat_flag_runs():
+    """--remat wraps the generator frame application in jax.checkpoint; the
+    fused step must still run and produce finite losses."""
+    from shineon_tpu.models.sams_model import SamsModel
+
+    opt = _sams_opt_tiny(batch_size=2)
+    opt.remat = True
+    model = SamsModel(opt)
+    state = model.init_state(jax.random.PRNGKey(10), steps_per_epoch=4)
+    batch = {k: jnp.asarray(v) for k, v in _raw_image_batch(opt, 2, frames=3).items()}
+    _, metrics = model.make_train_step()(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
