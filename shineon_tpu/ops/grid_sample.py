@@ -74,29 +74,51 @@ def grid_sample(
     wy1 = gy - y0
     wy0 = 1.0 - wy1
 
-    def corner(ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
-        """Gather image[b, iy, ix, :] with OOB handling; returns (B, Hg, Wg, C)."""
-        if padding_mode == "zeros":
-            in_bounds = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
-        else:
-            in_bounds = None
-        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
-        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-        flat_idx = iyc * W + ixc  # (B, Hg, Wg)
-        flat_img = image.reshape(B, H * W, C)
-        vals = jnp.take_along_axis(
-            flat_img,
-            flat_idx.reshape(B, -1, 1),
-            axis=1,
-        ).reshape(ix.shape + (C,))
-        if in_bounds is not None:
-            vals = jnp.where(in_bounds[..., None], vals, 0.0)
-        return vals
+    # ONE 2x2xC block gather per output pixel instead of four per-corner
+    # gathers: pad the image by one pixel on each spatial side (zeros or edge
+    # per the padding mode) so the block at (y0+1, x0+1) always contains the
+    # four bilinear corners; far-out-of-range corners are masked afterwards
+    # (zeros mode). Gathers move 4C contiguous floats per index — a 4x
+    # reduction in gather dispatches, which dominate the flow-warp cost.
+    pad_kwargs = (
+        {"mode": "edge"} if padding_mode == "border"
+        else {"mode": "constant", "constant_values": 0}
+    )
+    padded = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)), **pad_kwargs)
 
-    v00 = corner(x0, y0)
-    v01 = corner(x1, y0)
-    v10 = corner(x0, y1)
-    v11 = corner(x1, y1)
+    y0i = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)  # block start in padded img
+    x0i = jnp.clip(x0 + 1, 0, W).astype(jnp.int32)
+    starts = jnp.stack(
+        [y0i.reshape(B, -1), x0i.reshape(B, -1)], axis=-1
+    )  # (B, P, 2)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    def gather_one(img, idx):
+        return jax.lax.gather(
+            img, idx, dnums, slice_sizes=(2, 2, C),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+
+    blocks = jax.vmap(gather_one)(padded, starts)  # (B, P, 2, 2, C)
+    blocks = blocks.reshape(x0.shape + (2, 2, C))
+    v00 = blocks[..., 0, 0, :]
+    v01 = blocks[..., 0, 1, :]
+    v10 = blocks[..., 1, 0, :]
+    v11 = blocks[..., 1, 1, :]
+
+    if padding_mode == "zeros":
+        def mask(v, ix, iy):
+            in_bounds = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+            return jnp.where(in_bounds[..., None], v, 0.0)
+
+        v00 = mask(v00, x0, y0)
+        v01 = mask(v01, x1, y0)
+        v10 = mask(v10, x0, y1)
+        v11 = mask(v11, x1, y1)
 
     out = (
         v00 * (wx0 * wy0)[..., None]
