@@ -29,7 +29,6 @@ hinge-GAN semantics) so the adversarial objective actually trains G.
 from __future__ import annotations
 
 import argparse
-import functools
 import os.path as osp
 from typing import Dict, List
 
@@ -51,6 +50,7 @@ from shineon_tpu.training.state import (
     net_state_from_variables,
     variables_of,
 )
+from shineon_tpu.utils.runtime import donating_jit
 from shineon_tpu.utils.visualization import get_save_paths, save_images
 
 
@@ -409,7 +409,7 @@ class SamsModel(BaseModel):
                 new_params, new_stats if new_stats is not None else net.stats, new_opt
             )
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @donating_jit
         def train_step(state: TrainState, raw_batch: Dict):
             opt = self.opt
             feats = self.features(raw_batch)

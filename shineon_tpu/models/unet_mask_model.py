@@ -9,7 +9,6 @@ the whole forward + loss + update is one fused jitted step.
 from __future__ import annotations
 
 import argparse
-import functools
 import math
 import os.path as osp
 from typing import Dict, List
@@ -30,6 +29,7 @@ from shineon_tpu.training.state import (
     net_state_from_variables,
 )
 from shineon_tpu.utils import get_and_cat_inputs
+from shineon_tpu.utils.runtime import donating_jit
 from shineon_tpu.utils.visualization import get_save_paths, save_images
 
 
@@ -185,7 +185,7 @@ class UnetMaskModel(BaseModel):
     def make_train_step(self):
         tx = self._tx
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @donating_jit
         def train_step(state: TrainState, raw_batch: Dict):
             feats = self.features(raw_batch)
             net = state.nets["unet"]

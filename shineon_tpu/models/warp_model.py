@@ -8,7 +8,6 @@ TPS theta -> basis-matmul grid -> grid-sample warp -> L1 loss -> Adam update.
 from __future__ import annotations
 
 import argparse
-import functools
 import os.path as osp
 from typing import Dict, List
 
@@ -27,6 +26,7 @@ from shineon_tpu.training.state import (
     net_state_from_variables,
 )
 from shineon_tpu.utils import get_and_cat_inputs
+from shineon_tpu.utils.runtime import donating_jit
 from shineon_tpu.utils.visualization import get_save_paths, save_images
 
 
@@ -97,7 +97,7 @@ class WarpModel(BaseModel):
     def make_train_step(self):
         tx = self._tx
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @donating_jit
         def train_step(state: TrainState, raw_batch: Dict):
             feats = self.features(raw_batch)
             net = state.nets["gmm"]

@@ -22,3 +22,17 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without the knob
         pass
+
+
+def donating_jit(fn):
+    """jit with the leading (state) argument donated on TPU backends.
+
+    Donation halves peak optimizer-state HBM in the train step. On XLA:CPU
+    it is disabled: buffers can remain referenced by eager arrays (tests,
+    notebooks) and donating them there hard-aborts the process.
+    """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(fn)

@@ -135,18 +135,20 @@ def test_unet_mask_train_step_single_frame():
 
 
 def test_unet_mask_flow_warp_frames():
+    # single-device on purpose: this is the heaviest CPU test and the 8-way
+    # oversubscribed virtual mesh occasionally trips XLA:CPU's collective
+    # rendezvous timeout (hard abort); mesh coverage lives in the warp/SAMS
+    # mesh tests
     from shineon_tpu.models.unet_mask_model import UnetMaskModel
 
-    mesh = make_mesh()
     opt = _base_opt(
         model="unet_mask", person_inputs=["agnostic", "densepose"],
         flow_warp=True, n_frames_total=3, n_frames_now=3, num_attn=0,
-        fine_height=64, fine_width=64,
+        fine_height=64, fine_width=64, batch_size=4,
     )
     model = UnetMaskModel(opt)
     state = model.init_state(jax.random.PRNGKey(3), steps_per_epoch=4)
-    state = jax.device_put(state, replicated_sharding(mesh))
-    batch = _shard(_raw_image_batch(opt, 8, frames=3), mesh)
+    batch = {k: jnp.asarray(v) for k, v in _raw_image_batch(opt, 4, frames=3).items()}
     # forward shapes: 5*n output channels split into rendered/mask/flow-mask
     feats = model.features(batch)
     p_r, t_m, p_t, f_m = model.forward(
