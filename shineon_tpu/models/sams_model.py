@@ -77,6 +77,13 @@ class SamsModel(BaseModel):
             "--norm_D", type=str, default="spectralinstance",
             help="instance normalization or batch normalization",
         )
+        parser.add_argument(
+            "--fast_gan_step", action="store_true",
+            help="Reuse the generator step's frames (detached) for the "
+            "discriminator updates instead of regenerating with the updated "
+            "generator. ~20%% faster steps; slight semantic deviation from "
+            "the reference's per-optimizer regeneration.",
+        )
         from shineon_tpu import networks
         from shineon_tpu.options import gan_options
 
@@ -114,6 +121,16 @@ class SamsModel(BaseModel):
             inputs=tuple(self.inputs),
             dtype=self.compute_dtype,
         )
+        if self.is_train and not getattr(opt, "remat", False):
+            est_pixels = opt.fine_height * opt.fine_width * opt.batch_size
+            if est_pixels * self.n_frames_now >= 256 * 192 * 4 * 3:
+                from shineon_tpu.utils.log import get_logger
+
+                get_logger().warning(
+                    "SAMS training at this size typically exceeds a single "
+                    "16GB chip's HBM without --remat (measured 44.8G at "
+                    "batch 4 x 5 frames x 256x192); consider --remat."
+                )
         if self.is_train:
             self.multiscale_discriminator = MultiscaleDiscriminator(
                 num_D=getattr(opt, "num_D", 2),
@@ -421,18 +438,28 @@ class SamsModel(BaseModel):
             (loss_G, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
                 state.nets["generator"].params
             )
-            metrics, g_stats, *_ = aux
+            metrics, g_stats, g_fake, g_frames, g_maps = aux
             g_net = apply_updates(
                 state.nets["generator"], g_grads, "generator", new_stats=g_stats
             )
 
-            # ---- 2. regenerate with the UPDATED generator, detached
-            fake_frame, current_maps, all_frames, g_stats2 = self.generate_n_frames(
-                g_net.params, g_net.stats, feats, train=True
-            )
-            fake_frame = jax.lax.stop_gradient(fake_frame)
-            all_frames = jax.lax.stop_gradient(all_frames)
-            g_net = NetState(g_net.params, g_stats2, g_net.opt_state)
+            if getattr(opt, "fast_gan_step", False):
+                # reuse the G-step clip (detached) for both D updates — skips a
+                # full 5-frame regeneration per step (documented approximation)
+                fake_frame = jax.lax.stop_gradient(g_fake)
+                all_frames = jax.lax.stop_gradient(g_frames)
+                current_maps = g_maps
+            else:
+                # ---- 2. regenerate with the UPDATED generator, detached
+                # (the reference's per-optimizer regeneration semantics,
+                # sams_model.py:598-608)
+                fake_frame, current_maps, all_frames, g_stats2 = (
+                    self.generate_n_frames(g_net.params, g_net.stats, feats,
+                                           train=True)
+                )
+                fake_frame = jax.lax.stop_gradient(fake_frame)
+                all_frames = jax.lax.stop_gradient(all_frames)
+                g_net = NetState(g_net.params, g_stats2, g_net.opt_state)
 
             ground_truth = feats["image"][:, -1]
             sem = jnp.concatenate([current_maps[k] for k in self.inputs], axis=-1)

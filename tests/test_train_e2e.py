@@ -322,3 +322,19 @@ def test_sams_remat_flag_runs():
     batch = {k: jnp.asarray(v) for k, v in _raw_image_batch(opt, 2, frames=3).items()}
     _, metrics = model.make_train_step()(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sams_fast_gan_step_runs():
+    """--fast_gan_step reuses the G-step clip for the D updates (documented
+    approximation); the fused step must run with finite losses and update all
+    nets."""
+    from shineon_tpu.models.sams_model import SamsModel
+
+    opt = _sams_opt_tiny(batch_size=2)
+    opt.fast_gan_step = True
+    model = SamsModel(opt)
+    state = model.init_state(jax.random.PRNGKey(12), steps_per_epoch=4)
+    batch = {k: jnp.asarray(v) for k, v in _raw_image_batch(opt, 2, frames=3).items()}
+    _, metrics = model.make_train_step()(state, batch)
+    for key in ("loss", "loss/D/multi", "loss/D/temporal"):
+        assert np.isfinite(float(metrics[key])), key
