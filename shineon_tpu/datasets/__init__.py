@@ -17,8 +17,8 @@ def find_dataset_using_name(dataset_name: str):
             return cls
 
     raise NotImplementedError(
-        "In %s.py, there should be a subclass of BaseDataset with class name that "
-        "matches %s in lowercase." % (dataset_filename, target_dataset_name)
+        f"module {dataset_filename} does not define a BaseDataset subclass "
+        f"whose lowercased name equals {target_dataset_name!r}"
     )
 
 

@@ -128,7 +128,10 @@ class VVTDataset(TryonDataset, NFramesInterface):
         if not matches:
             logger.debug(f"{search=} not found, relaxing search to any cloth term.")
             matches = sorted(glob(f"{cloth_folder}/{video_id}-{cloth_id}*cloth*"))
-        assert matches, f"{search=} not found. Try specifying --warp_cloth_dir"
+        assert matches, (
+            f"no cloth file matches {search!r}; if this is a TOM/SAMS run, "
+            f"point --warp_cloth_dir at the exported warp outputs"
+        )
         return matches[0]
 
     def get_input_cloth_name(self, index: int) -> str:
@@ -187,7 +190,10 @@ class VVTDataset(TryonDataset, NFramesInterface):
         starts."""
         indices: List[int] = []
         for i in range(index, index - self.n_frames_total, -1):
-            assert i > -1, "index can't be negative, something's wrong!"
+            assert i > -1, (
+                f"frame walk-back reached a negative index ({i}); the "
+                f"video-start bookkeeping is inconsistent"
+            )
             if i in self._video_start_indices or i == 0:
                 num_times = self.n_frames_total - len(indices)
                 indices = [i] * num_times + indices

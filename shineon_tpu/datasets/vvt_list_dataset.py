@@ -49,7 +49,7 @@ class VVTListDataset(VVTDataset):
                 else:
                     raise ValueError(f"unknown stage {self.opt.stage}")
                 assert len(image_paths) == len(cloth_paths), (
-                    f"lens don't match on {image_dir}"
+                    f"frame/warp counts differ for {image_dir}"
                 )
                 self.image_paths.extend(image_paths)
                 self.cloth_paths.extend(cloth_paths)

@@ -22,8 +22,8 @@ def find_model_using_name(model_name: str):
             return cls
 
     raise NotImplementedError(
-        "In %s.py, there should be a subclass of BaseModel with class name that "
-        "matches %s in lowercase." % (model_filename, target_model_name)
+        f"module {model_filename} does not define a BaseModel subclass whose "
+        f"lowercased name equals {target_model_name!r}"
     )
 
 

@@ -41,26 +41,34 @@ class BaseModel(abc.ABC):
     def modify_commandline_options(cls, parser: argparse.ArgumentParser, is_train):
         parser.add_argument(
             "--person_inputs", nargs="+",
-            help="List of person input kinds; sets input tensors and channel "
-            "counts (see TryonDataset).",
+            help="person-derived inputs to feed the network; each adds its channel "
+            "count (see TryonDataset).",
         )
         parser.add_argument(
             "--cloth_inputs", nargs="+", default=("cloth",),
-            help="List of items to pass as the cloth inputs.",
+            help="cloth-derived inputs to feed the network.",
         )
         parser.add_argument("--ngf", type=int, default=64)
-        parser.add_argument("--self_attn", action="store_true", help="Add self-attention")
+        parser.add_argument("--self_attn", action="store_true", help="insert self-attention blocks")
         parser.add_argument(
             "--no_self_attn", action="store_false", dest="self_attn",
-            help="No self-attention",
+            help="disable self-attention blocks",
         )
         parser.add_argument(
             "--num_attn", type=int, default=2,
-            help="Num of self-attention layers, from the bottom of the UNet up",
+            help="how many U-Net levels get self-attention, counted from the bottleneck",
         )
         parser.add_argument(
             "--flow_warp", action="store_true",
-            help="Warp the previous frame with flow",
+            help="flow-warp the previous generated frame into the composite",
+        )
+        parser.add_argument(
+            "--allow_random_vgg", action="store_true",
+            help="Permit the VGG perceptual loss to fall back to fixed random "
+            "filters when no pretrained VGG19 weights are available "
+            "(SHINEON_VGG19_WEIGHTS). Without this, missing weights abort "
+            "training, since the objective would silently differ from the "
+            "reference's ImageNet-VGG loss.",
         )
         parser.add_argument(
             "--remat", action="store_true",
@@ -104,14 +112,14 @@ class BaseModel(abc.ABC):
         dataset_cls = find_dataset_using_name(self.opt.dataset)
         self.train_dataset = dataset_cls(self.opt)
         logger.info(
-            f"Main {self.opt.dataset} dataset initialized: "
-            f"{len(self.train_dataset)} samples."
+            f"main {self.opt.dataset} dataset ready "
+            f"({len(self.train_dataset)} samples)"
         )
         if stage == "fit":
             self.val_dataset = self.train_dataset.make_validation_dataset(self.opt)
             logger.info(
-                f"Val {self.opt.dataset} dataset initialized: "
-                f"{len(self.val_dataset)} samples."
+                f"validation {self.opt.dataset} dataset ready "
+                f"({len(self.val_dataset)} samples)"
             )
 
     def train_dataloader(self) -> DataLoader:
@@ -212,7 +220,7 @@ class BaseModel(abc.ABC):
                     f"{channels=}. Skipping it."
                 )
         if not out:
-            raise ValueError("Didn't find any tensors to visualize!")
+            raise ValueError("no <=3-channel person inputs available to visualize")
         return out
 
     def replace_actual_with_visual(self) -> List[str]:

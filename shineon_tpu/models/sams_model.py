@@ -23,7 +23,8 @@ Deliberate deviation (documented): the reference's generator adversarial terms
 feed ``pred_real`` into the criterion (sams_model.py:616-620, 651-655), whose
 gradient w.r.t. the generator is zero — a variable mix-up relative to the
 upstream SPADE recipe. We use ``pred_fake`` for the generator loss (standard
-hinge-GAN semantics) so the adversarial objective actually trains G.
+hinge-GAN semantics) so the adversarial objective actually trains G;
+``--reference_gan_semantics`` restores the reference's exact behavior.
 """
 
 from __future__ import annotations
@@ -75,7 +76,7 @@ class SamsModel(BaseModel):
         parser.add_argument("--wt_temporal", type=float, default=1.0)
         parser.add_argument(
             "--norm_D", type=str, default="spectralinstance",
-            help="instance normalization or batch normalization",
+            help="discriminator norm config string (e.g. spectralinstance)",
         )
         parser.add_argument(
             "--fast_gan_step", action="store_true",
@@ -132,6 +133,9 @@ class SamsModel(BaseModel):
                     "batch 4 x 5 frames x 256x192); consider --remat."
                 )
         if self.is_train:
+            # get_intermediate_features tracks --no_ganFeat_loss exactly like
+            # the reference (discriminator.py:66,141)
+            want_feats = not getattr(opt, "no_ganFeat_loss", False)
             self.multiscale_discriminator = MultiscaleDiscriminator(
                 num_D=getattr(opt, "num_D", 2),
                 ndf=getattr(opt, "ndf", 64),
@@ -139,6 +143,7 @@ class SamsModel(BaseModel):
                 norm_D=opt.norm_D,
                 init_type=getattr(opt, "init_type", "xavier"),
                 init_gain=getattr(opt, "init_variance", 0.02),
+                get_intermediate_features=want_feats,
                 dtype=self.compute_dtype,
             )
             enc_ch = parse_num_channels(opt.encoder_input)
@@ -149,10 +154,17 @@ class SamsModel(BaseModel):
                 norm_D=opt.norm_D,
                 init_type=getattr(opt, "init_type", "xavier"),
                 init_gain=getattr(opt, "init_variance", 0.02),
+                get_intermediate_features=want_feats,
                 dtype=self.compute_dtype,
             )
             self.criterion_gan = GANLoss(getattr(opt, "gan_mode", "hinge"))
-            self.criterion_vgg = VGGLoss()
+            # wt_vgg == 0 never optimizes the VGG term, so random fallback
+            # filters are harmless there; otherwise require real weights
+            # unless --allow_random_vgg opts out (reference loss.py:110)
+            self.criterion_vgg = VGGLoss(
+                allow_random=getattr(opt, "allow_random_vgg", False)
+                or getattr(opt, "wt_vgg", 1.0) == 0
+            )
         self._tx = {}
         self._schedules = {}
 
@@ -380,13 +392,18 @@ class SamsModel(BaseModel):
         sem = jnp.concatenate(
             [current_maps[k] for k in self.inputs], axis=-1
         )
+        # --reference_gan_semantics reproduces the reference's variable mix-up
+        # (pred_real into the G criterion, sams_model.py:616-620, 651-655);
+        # the default feeds pred_fake (standard hinge-GAN, see module docstring)
+        ref_semantics = getattr(opt, "reference_gan_semantics", False)
         dm = state.nets["d_multi"]
-        pred_fake, _, _ = self.discriminate(
+        pred_fake, pred_real, _ = self.discriminate(
             self.multiscale_discriminator, variables_of(dm), sem,
             fake_frame, ground_truth,
         )
         loss_adv_multi = self.criterion_gan(
-            pred_fake, True, for_discriminator=False
+            pred_real if ref_semantics else pred_fake, True,
+            for_discriminator=False,
         ) * opt.wt_multiscale
 
         # temporal: whole clip, progressive-masked, frame-folded
@@ -394,11 +411,12 @@ class SamsModel(BaseModel):
         fakes = self._fold(all_frames)  # pre-masked by construction
         sem_t = self._fold(self.mask_unused_frames(feats[opt.encoder_input]))
         dt = state.nets["d_temporal"]
-        predf_t, _, _ = self.discriminate(
+        predf_t, predr_t, _ = self.discriminate(
             self.temporal_discriminator, variables_of(dt), sem_t, fakes, reals
         )
         loss_adv_temp = self.criterion_gan(
-            predf_t, True, for_discriminator=False
+            predr_t if ref_semantics else predf_t, True,
+            for_discriminator=False,
         ) * opt.wt_temporal
 
         loss_l1 = l1_loss(fake_frame, ground_truth) * opt.wt_l1

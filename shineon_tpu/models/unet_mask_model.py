@@ -43,7 +43,7 @@ class UnetMaskModel(BaseModel):
         parser.set_defaults(person_inputs=("agnostic", "densepose"))
         parser.add_argument(
             "--pen_flow_mask", type=float, default=1.0,
-            help="Penalty applied to flow mask loss",
+            help="weight of the flow-mask penalty term",
         )
         return parser
 
@@ -63,7 +63,13 @@ class UnetMaskModel(BaseModel):
             activation=opt.activation,
             dtype=self.compute_dtype,
         )
-        self.criterion_vgg = VGGLoss()
+        # the VGG term always contributes to the TOM loss
+        # (unet_mask_model.py:173-190), so real weights are required at
+        # train time unless --allow_random_vgg opts out
+        self.criterion_vgg = VGGLoss(
+            allow_random=getattr(opt, "allow_random_vgg", False)
+            or not self.is_train
+        )
         self._tx = None
         self._schedule = None
 

@@ -25,13 +25,13 @@ def add_base_network_options(parser: argparse.ArgumentParser, is_train: bool):
         "--init_type",
         type=str,
         default="xavier",
-        help="network initialization [normal|xavier|kaiming|orthogonal]",
+        help="weight init scheme: normal, xavier, xavier_uniform, kaiming, or orthogonal",
     )
     parser.add_argument(
         "--init_variance",
         type=float,
         default=0.02,
-        help="variance of the initialization distribution",
+        help="gain/std of the weight init distribution",
     )
     return parser
 
@@ -40,11 +40,11 @@ def add_discriminator_options(parser: argparse.ArgumentParser, is_train: bool):
     """Multiscale + NLayer D options (discriminator.py:18-34, 80-88)."""
     parser.add_argument(
         "--netD_subarch", type=str, default="n_layer",
-        help="architecture of each discriminator",
+        help="conv depth of each PatchGAN discriminator",
     )
     parser.add_argument(
         "--num_D", type=int, default=2,
-        help="number of discriminators to be used in multiscale",
+        help="discriminator count in the multiscale pyramid",
     )
     parser.add_argument(
         "--n_layers_D", type=int, default=4, help="# layers in each discriminator"

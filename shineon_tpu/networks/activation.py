@@ -30,7 +30,7 @@ def get_activation_fn(activation: str):
     }
     if activation not in table:
         raise RuntimeError(
-            f"The selected activation should be relu/gelu/swish/sine, not {activation}"
+            f"activation must be one of relu/gelu/swish/sine; got {activation!r}"
         )
     return table[activation]
 

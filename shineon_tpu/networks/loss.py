@@ -22,7 +22,7 @@ class GANLoss:
     AVAILABLE_MODES = ("ls", "original", "w", "hinge")
 
     def __init__(self, gan_mode: str = "hinge"):
-        assert gan_mode in GANLoss.AVAILABLE_MODES, f"Unexpected {gan_mode = }"
+        assert gan_mode in GANLoss.AVAILABLE_MODES, f"unknown GAN mode: {gan_mode!r}"
         self.gan_mode = gan_mode
 
     def _loss(self, x: jnp.ndarray, target_is_real: bool, for_discriminator: bool):
@@ -41,7 +41,7 @@ class GANLoss:
                 if target_is_real:
                     return -jnp.mean(jnp.minimum(x - 1, 0.0))
                 return -jnp.mean(jnp.minimum(-x - 1, 0.0))
-            assert target_is_real, "The generator's hinge loss must be aiming for real"
+            assert target_is_real, "hinge G-loss is only defined toward the real target"
             return -jnp.mean(x)
         # wgan
         return -jnp.mean(x) if target_is_real else jnp.mean(x)
@@ -67,9 +67,18 @@ class VGGLoss:
 
     WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
-    def __init__(self, variables: Optional[dict] = None, layids: Optional[List[int]] = None):
+    def __init__(
+        self,
+        variables: Optional[dict] = None,
+        layids: Optional[List[int]] = None,
+        allow_random: bool = False,
+    ):
         self.model = Vgg19Features()
-        self.variables = variables if variables is not None else load_vgg19_params()
+        self.variables = (
+            variables
+            if variables is not None
+            else load_vgg19_params(allow_random=allow_random)
+        )
         self.layids = layids
 
     def features(self, x: jnp.ndarray) -> List[jnp.ndarray]:

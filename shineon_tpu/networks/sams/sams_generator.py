@@ -65,7 +65,7 @@ class SamsGenerator(nn.Module):
         parser.add_argument("--norm_G", default="spectralspadesyncbatch3x3")
         parser.add_argument(
             "--ngf_base", type=int, default=2,
-            help="Control the size of the network. ngf_base ** pow",
+            help="feature widths are ngf_base ** pow at each stage",
         )
         parser.add_argument(
             "--ngf_power_start", "--ngf_pow_outer", dest="ngf_pow_outer",
@@ -83,15 +83,15 @@ class SamsGenerator(nn.Module):
         )
         parser.add_argument(
             "--num_middle", type=int, default=3,
-            help="Number of channel-preserving layers between the encoder and decoder",
+            help="count of width-preserving SAMS blocks between encoder and decoder",
         )
         parser.add_argument(
             "--attention_middle_indices", nargs="*", default=[],
-            help="middle layer indices for attention",
+            help="which middle blocks get self-attention (negative indices ok)",
         )
         parser.add_argument(
             "--attention_decoder_indices", nargs="*", default=[],
-            help="decoder layer indices for attention",
+            help="which decoder blocks get self-attention (negative indices ok)",
         )
         return parser
 

@@ -29,7 +29,7 @@ def parse_spade_config(config_text: str) -> tuple[str, int]:
     norm_type = str(parsed.group(1))
     if norm_type not in ("instance", "syncbatch", "batch"):
         raise ValueError(
-            "%s is not a recognized param-free norm type in SPADE" % norm_type
+            "SPADE config names an unknown param-free norm: %s" % norm_type
         )
     return norm_type, int(parsed.group(2))
 

@@ -3,12 +3,12 @@
 Reference: models/networks/vgg.py:6-36 — torchvision VGG19 ``features`` split
 into five slices ending at relu1_1, relu2_1, relu3_1, relu4_1, relu5_1.
 
-Pretrained weights: this environment has no torchvision weight cache, so the
-module supports (a) converting a torch VGG19 ``state_dict`` (.pth) via
-:func:`convert_torch_vgg19_state_dict` / the ``SHINEON_VGG19_WEIGHTS`` env var
-pointing at a converted ``.npz``, and (b) a documented fallback of fixed
-random (seed-420) filters — a random multi-scale feature metric; results then
-differ from the reference's ImageNet-VGG loss and training logs a warning.
+Pretrained weights: convert a torch VGG19 ``state_dict`` (.pth) with
+``tools/convert_vgg19.py`` (wrapping :func:`convert_torch_vgg19_state_dict`)
+and point the ``SHINEON_VGG19_WEIGHTS`` env var at the resulting ``.npz``.
+Missing weights RAISE unless random filters are explicitly opted into
+(``--allow_random_vgg`` / ``SHINEON_ALLOW_RANDOM_VGG=1``), because the
+reference's perceptual objective is the ImageNet VGG19 (loss.py:110).
 
 Like the reference (loss.py:106-122), inputs are the raw [-1, 1] images with no
 ImageNet renormalization.
@@ -83,19 +83,53 @@ def convert_torch_vgg19_state_dict(state_dict) -> dict:
     return {"params": params}
 
 
-def load_vgg19_params(rng_seed: int = 420):
+class MissingVgg19WeightsError(RuntimeError):
+    pass
+
+
+def vgg19_weights_path() -> str:
+    """Path of the converted ImageNet VGG19 weights, or '' if unavailable."""
+    path = os.environ.get("SHINEON_VGG19_WEIGHTS", "")
+    return path if path and os.path.exists(path) else ""
+
+
+def load_vgg19_params(rng_seed: int = 420, allow_random: bool = False):
     """Load converted weights from $SHINEON_VGG19_WEIGHTS (.npz of the flax
-    params tree) if present, else deterministic random filters."""
+    params tree).
+
+    Missing weights are a HARD ERROR unless ``allow_random`` (or the env var
+    ``SHINEON_ALLOW_RANDOM_VGG=1``) opts into the deterministic random-filter
+    fallback: the reference's perceptual loss is the ImageNet VGG19
+    (loss.py:110), and silently training against random filters optimizes a
+    different objective.
+    """
     import jax
 
-    path = os.environ.get("SHINEON_VGG19_WEIGHTS", "")
-    if path and os.path.exists(path):
+    path = vgg19_weights_path()
+    if path:
         flat = np.load(path)
         params = {}
         for key in flat.files:
             scope, leaf = key.rsplit("/", 1)
             params.setdefault(scope, {})[leaf] = flat[key]
         return {"params": params}
+    allow_random = allow_random or os.environ.get(
+        "SHINEON_ALLOW_RANDOM_VGG", ""
+    ) not in ("", "0")
+    if not allow_random:
+        raise MissingVgg19WeightsError(
+            "No pretrained VGG19 weights found. Convert the torchvision "
+            "checkpoint with tools/convert_vgg19.py and point "
+            "SHINEON_VGG19_WEIGHTS at the .npz, or pass --allow_random_vgg "
+            "(env SHINEON_ALLOW_RANDOM_VGG=1) to knowingly train against "
+            "fixed random filters."
+        )
+    from shineon_tpu.utils.log import get_logger
+
+    get_logger().warning(
+        "VGG19 perceptual loss is using RANDOM (seed-%d) filters — results "
+        "will differ from the reference's ImageNet-VGG objective." % rng_seed
+    )
     model = Vgg19Features()
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     return model.init(jax.random.PRNGKey(rng_seed), dummy)

@@ -6,8 +6,10 @@ dataset class extends the parser -> final parse. Models/datasets can also change
 defaults of shared flags via ``parser.set_defaults``.
 
 TPU mapping of the hardware flags:
-  --gpu_ids            kept for CLI parity; interpreted as "how many local devices
-                       to use" (comma list). Default uses all of jax.devices().
+  --gpu_ids            comma list of local device indices. When passed
+                       explicitly, the Trainer restricts its data mesh to those
+                       devices (reference train.py:76-85); left at the default
+                       it uses all of jax.devices().
   --distributed_backend  kept for parity; "ddp" selects the data-parallel Mesh
                        (the only mode the reference supports: SURVEY §2.10).
   --precision {16,32}  16 -> bfloat16 compute policy (no loss scaling needed on
@@ -41,8 +43,9 @@ class BaseOptions:
         parser.add_argument(
             "--gpu_ids",
             default="0",
-            help="comma separated of which accelerator devices to train on "
-            "(parity flag; on TPU all local devices are used by default)",
+            help="comma list of accelerator device indices to train on; when "
+            "given explicitly it restricts the data mesh, otherwise every "
+            "local device is used",
         )
         parser.add_argument(
             "-j", "--num_workers", "--workers", dest="workers", type=int, default=4
@@ -65,8 +68,8 @@ class BaseOptions:
         parser.add_argument("--datamode", default="train")
         parser.add_argument(
             "--model",
-            help="which model to use. choices: "
-            "'warp' (aka 'gmm'), 'unet_mask' (aka 'tom'), 'sams'.",
+            help="model to run: 'warp' (synonym 'gmm'), 'unet_mask' "
+            "(synonyms 'tom', 'unet'), or 'sams'.",
         )
         parser.add_argument(
             "--datacap",
@@ -87,29 +90,29 @@ class BaseOptions:
         parser.add_argument(
             "--experiments_dir",
             default="experiments",
-            help="where to store logs and checkpoints",
+            help="root directory for experiment logs and checkpoints",
         )
         parser.add_argument(
             "--checkpoint",
             type=str,
             default="",
-            help="model checkpoint for initialization",
+            help="checkpoint path to initialize/resume from",
         )
         parser.add_argument(
             "--display_count",
             type=int,
-            help="how often to update tensorboard, in steps",
+            help="TensorBoard logging cadence, in steps",
             default=200,
         )
         parser.add_argument(
             "--loglevel",
             choices=("debug", "info", "warning", "error", "critical"),
             default="info",
-            help="choose a log level",
+            help="console logging verbosity",
         )
         # debug
         parser.add_argument(
-            "--fast_dev_run", action="store_true", help="quickly test out the pipeline",
+            "--fast_dev_run", action="store_true", help="single-batch smoke run of the full pipeline",
         )
         self.initialized = True
         return parser
@@ -156,6 +159,8 @@ class BaseOptions:
         opt.is_train = self.is_train
 
         interactive = argv is None
+        effective_argv = sys.argv[1:] if argv is None else argv
+        opt.gpu_ids_explicit = "--gpu_ids" in effective_argv
         BaseOptions.apply_ask_unnamed_experiment(opt, interactive=interactive)
         BaseOptions.apply_model_synonyms(opt)
         BaseOptions.apply_gpu_ids(opt)
@@ -182,15 +187,15 @@ class BaseOptions:
             if not sys.stdin.isatty():
                 return
             print(
-                "\n"
-                "You didn't set an experiment name. Do you want to set one? If not, "
-                "leave it blank. This message can be avoided by passing --name NAME."
+                "\nNo --name was given for this experiment. Enter one now, or "
+                "press enter to keep the default (pass --name NAME to skip "
+                "this prompt)."
             )
-            new_name = input(f"Experiment name (default: {opt.name}): ")
+            new_name = input(f"experiment name [{opt.name}]: ")
             print()
             if new_name:
                 opt.name = new_name
-                print(f"Experiment name set to {opt.name}")
+                print(f"Using experiment name: {opt.name}")
 
     @staticmethod
     def apply_gpu_ids(opt):
@@ -207,7 +212,7 @@ class BaseOptions:
         elif opt.model in ("tom", "unet"):
             opt.model = "unet_mask"
         if before != opt.model:
-            print(f"User passed --model {before}, assuming you meant {opt.model}")
+            print(f"--model {before} is a synonym; running --model {opt.model}")
 
     @staticmethod
     def apply_sort_inputs(opt):

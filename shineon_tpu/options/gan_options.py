@@ -23,4 +23,14 @@ def modify_commandline_options(parser: argparse.ArgumentParser, is_train: bool):
             action="store_true",
             help="Disable GAN feature matching in loss.",
         )
+        parser.add_argument(
+            "--reference_gan_semantics",
+            action="store_true",
+            help="Reproduce the reference's generator adversarial terms "
+            "exactly: the criterion is fed the REAL-branch predictions "
+            "(reference sams_model.py:616-620, 651-655), whose gradient "
+            "w.r.t. the generator is zero. Default uses standard hinge-GAN "
+            "semantics (fake-branch predictions) so the adversarial term "
+            "actually trains G.",
+        )
     return parser

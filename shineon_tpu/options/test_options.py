@@ -20,7 +20,7 @@ class TestOptions(BaseOptions):
             "--result_dir",
             type=str,
             default="test_results",
-            help="save test result outputs",
+            help="directory to write exported test outputs into",
         )
         parser.add_argument(
             "--tryon_list",

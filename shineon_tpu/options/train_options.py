@@ -12,13 +12,13 @@ class TrainOptions(BaseOptions):
         parser = BaseOptions.initialize(self, parser)
         # data
         parser.add_argument(
-            "--no_shuffle", action="store_true", help="don't shuffle input data"
+            "--no_shuffle", action="store_true", help="keep the sample order fixed (no shuffling)"
         )
         # checkpoints
         parser.add_argument(
             "--save_count",
             type=int,
-            help="how often in steps to always save a checkpoint",
+            help="unconditional checkpoint cadence, in steps",
             default=10000,
         )
         parser.add_argument(
@@ -37,13 +37,13 @@ class TrainOptions(BaseOptions):
         parser.add_argument(
             "--keep_epochs",
             type=int,
-            help="number of epochs with initial learning rate",
+            help="epochs at the initial learning rate before decay starts",
             default=5,
         )
         parser.add_argument(
             "--decay_epochs",
             type=int,
-            help="number of epochs to linearly decay the learning rate",
+            help="epochs over which the learning rate decays linearly to 0",
             default=5,
         )
         parser.add_argument(

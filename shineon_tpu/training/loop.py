@@ -44,6 +44,21 @@ class Trainer:
             import jax as _jax
 
             devices = _jax.devices()
+            # Honor an explicitly-passed --gpu_ids as a device selector, like
+            # the reference restricts training to the listed GPUs
+            # (reference train.py:76-85). The default value keeps the
+            # TPU-native behavior of using every local device.
+            gpu_ids = getattr(opt, "gpu_ids", None)
+            if getattr(opt, "gpu_ids_explicit", False) and gpu_ids:
+                missing = [i for i in gpu_ids if i >= len(devices)]
+                if missing:
+                    logger.warning(
+                        f"--gpu_ids {gpu_ids} requests device indices beyond "
+                        f"the {len(devices)} available; ignoring {missing}."
+                    )
+                selected = [devices[i] for i in gpu_ids if i < len(devices)]
+                if selected:
+                    devices = selected
             usable = len(devices)
             batch = getattr(opt, "batch_size", 1)
             while usable > 1 and batch % usable != 0:
@@ -155,14 +170,10 @@ class Trainer:
     def _run_validation(self, model, val_step, visual_fn, state, val_loader):
         opt = self.opt
         losses = defaultdict(list)
-        limit = str2num(opt.limit_val_batches)
-        nb = len(val_loader)
-        if isinstance(limit, float):
-            nb = max(1, int(nb * limit))
-        else:
-            nb = min(nb, int(limit)) if limit else nb
-        if opt.fast_dev_run:
-            nb = 1
+        # --limit_val_batches is already applied by the loader itself
+        # (DataLoader(limit_batches=...), base_model.py::val_dataloader), so
+        # len(val_loader) is the capped count — do NOT re-apply it here.
+        nb = 1 if opt.fast_dev_run else len(val_loader)
         last_batches = (None, None)
         for i, batch in enumerate(val_loader):
             if i >= nb:
@@ -189,8 +200,16 @@ class Trainer:
     def test(self, model, state):
         model.setup("test")
         test_loader = model.test_dataloader()
+        batch_size = getattr(self.opt, "batch_size", 1)
         for batch in test_loader:
-            device_batch = shard_batch(batch, self.mesh)
+            # The test loader keeps the ragged final batch (drop_last=False,
+            # base_model.py::test_dataloader). Pad the device arrays up to the
+            # static batch size so the mesh sharding and the jitted test fn
+            # see one shape; host-side names stay unpadded, so the per-name
+            # writes in test_step never touch the pad rows.
+            device_batch = shard_batch(
+                _pad_ragged_batch(batch, batch_size), self.mesh
+            )
             model.test_step(state, device_batch, batch)
         logger.info("test pass complete")
 
@@ -218,8 +237,8 @@ class Trainer:
     def _save_interrupt(self, state, name: str):
         if self.keeper is None:
             logger.warning(
-                "No checkpoint to save. Either training didn't start, or I'm a "
-                "child process."
+                "Nothing to checkpoint: the keeper was never created "
+                "(training has not started)."
             )
             return
         path = self.keeper.save_named(f"interrupted_by_{name}", state)
@@ -239,6 +258,20 @@ class Trainer:
                 1e3 * np.percentile(times, 50), 1e3 * np.percentile(times, 95),
             )
         )
+
+
+def _pad_ragged_batch(batch: dict, batch_size: int) -> dict:
+    """Pad numpy leaves along axis 0 to ``batch_size`` by repeating the last
+    sample. Non-array leaves (name lists) are returned as-is."""
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) and value.ndim >= 1:
+            short = batch_size - value.shape[0]
+            if short > 0:
+                pad = np.repeat(value[-1:], short, axis=0)
+                value = np.concatenate([value, pad], axis=0)
+        out[key] = value
+    return out
 
 
 def _format_hparams(opt) -> str:

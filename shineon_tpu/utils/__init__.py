@@ -19,8 +19,8 @@ def find_class_in_module(target_cls_name: str, module: str):
         if name.lower() == target_cls_name:
             return clsobj
     raise ImportError(
-        f"In {module}, there should be a class whose name matches "
-        f"{target_cls_name} in lowercase without underscore(_)"
+        f"module {module} defines no class whose lowercased, "
+        f"underscore-free name equals {target_cls_name!r}"
     )
 
 

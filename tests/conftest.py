@@ -5,6 +5,9 @@ path')."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hermetic tests have no pretrained VGG19 checkpoint; opt into the
+# deterministic random-filter fallback (training CLIs hard-fail without it).
+os.environ.setdefault("SHINEON_ALLOW_RANDOM_VGG", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
