@@ -61,14 +61,14 @@ class TryonDataset(BaseDataset, ABC):
     def modify_commandline_options(parser: ArgumentParser, is_train: bool):
         parser.add_argument(
             "--val_fraction", type=float, default=0.01,
-            help="fraction of data to reserve for validation",
+            help="portion of the training data split off for validation",
         )
         if not is_train:  # on test dataset, use the whole thing
             parser.set_defaults(val_fraction=0)
         parser.add_argument(
             "--cloth_mask_threshold", type=int, default=240,
-            help="threshold to remove white background for the cloth mask; "
-            "everything above this value is removed [0-255].",
+            help="white-background cutoff for deriving the cloth mask: pixels "
+            "brighter than this (0-255) are masked out.",
         )
         parser.add_argument(
             "--image_scale", type=float, default=1, help="first scale to this"
@@ -131,9 +131,41 @@ class TryonDataset(BaseDataset, ABC):
         return out
 
     def open_image_u8(self, path: str) -> np.ndarray:
-        """Decode an RGB image and center-crop; (H, W, 3) uint8."""
+        """Decode an RGB image and center-crop; (H, W, 3) uint8.
+
+        Fast path: the native C++ decoder (libpng/libjpeg, GIL-free) so loader
+        threads scale with host cores — the reference flags this host decode
+        as its training bottleneck (tryon_dataset.py:391)."""
+        from shineon_tpu.native import decode_image_batch, get_lib
+
+        if get_lib() is not None:
+            imgs, valid = decode_image_batch(
+                [path], self.fine_height, self.fine_width, channels=3,
+                n_threads=1,
+            )
+            if not valid[0]:
+                raise FileNotFoundError(path)
+            return imgs[0]
         img = Image.open(path).convert("RGB")
         return self.center_crop(np.asarray(img, np.uint8))
+
+    def open_label_u8(self, path: str) -> np.ndarray:
+        """Decode a label map (palette indices / gray levels) and center-crop;
+        (H, W) uint8."""
+        from shineon_tpu.native import decode_image_batch, get_lib
+
+        if get_lib() is not None:
+            maps, valid = decode_image_batch(
+                [path], self.fine_height, self.fine_width, channels=1,
+                n_threads=1,
+            )
+            if not valid[0]:
+                raise FileNotFoundError(path)
+            return maps[0, ..., 0]
+        arr = np.asarray(Image.open(path), np.uint8)
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+        return self.center_crop(arr)
 
     # ---------- cloth representation (tryon_dataset.py:158-196) ----------
 
@@ -163,8 +195,7 @@ class TryonDataset(BaseDataset, ABC):
             ret["prev_image_u8"] = np.zeros_like(ret["image_u8"])
             ret["prev_image_valid"] = np.float32(0.0)
 
-        parse = Image.open(self.get_person_parsed_path(index))
-        ret["parse_u8"] = self.center_crop(np.asarray(parse, np.uint8))
+        ret["parse_u8"] = self.open_label_u8(self.get_person_parsed_path(index))
 
         if "cocopose" in self.opt.person_inputs:
             ret["cocopose_kp"] = self.get_cocopose_keypoints(index)

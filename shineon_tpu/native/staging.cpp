@@ -17,13 +17,27 @@
 //       reference's zeros fallback (tryon_dataset.py:290-296).
 //   center_crop_u8_batch(srcs, n, srcH, srcW, C, out, outH, outW, n_threads)
 //     - center-crop/pad a batch of uint8 HWC images into out[n, outH, outW, C].
+//   decode_image_batch(paths, n, out, outH, outW, channels, valid, n_threads)
+//     - decodes n PNG/JPEG files (detected by magic), center-crops/pads each
+//       to (outH, outW) and writes uint8 into out[n, outH, outW, channels].
+//       channels=3: RGB (palette/gray/16-bit PNGs expanded like
+//       PIL convert("RGB")); channels=1: RAW label values — palette PNGs
+//       yield the palette *indices* (the LIP parse-map convention,
+//       tryon_dataset.py:481-537 reads them with PIL without conversion),
+//       gray PNGs/JPEGs the gray values. valid[i]=1 on success, 0 (zeroed
+//       slot) on failure. Decoding runs on a C++ thread pool and never
+//       touches the GIL, so Python-side loader threads scale with cores.
 
 #include <atomic>
+#include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
 
 namespace {
 
@@ -76,9 +90,175 @@ int read_one_flo(const char* path, float* out, int out_h, int out_w) {
   return 1;
 }
 
+// ------------------------------------------------------------ image decode
+
+// libjpeg error handling: longjmp out instead of exit()
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  std::jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  std::longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file into an interleaved u8 buffer (RGB or grayscale).
+// Returns 1 on success; fills (w, h).
+int decode_jpeg(FILE* f, int want_channels, std::vector<uint8_t>* pixels,
+                int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  cinfo.out_color_space = want_channels == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = static_cast<int>(cinfo.output_width);
+  *h = static_cast<int>(cinfo.output_height);
+  const int stride = *w * want_channels;
+  pixels->resize(static_cast<size_t>(*h) * stride);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = pixels->data() +
+                   static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 1;
+}
+
+// Decode a PNG file. want_channels == 3: RGB via the libpng simplified API
+// (expands palette/gray/16-bit, drops alpha). want_channels == 1: RAW 8-bit
+// values — palette indices for colormapped images (label maps), gray levels
+// otherwise.
+int decode_png_rgb(const char* path, std::vector<uint8_t>* pixels, int* w,
+                   int* h) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) return 0;
+  image.format = PNG_FORMAT_RGB;
+  pixels->resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, pixels->data(), 0, nullptr)) {
+    png_image_free(&image);
+    return 0;
+  }
+  *w = static_cast<int>(image.width);
+  *h = static_cast<int>(image.height);
+  return 1;
+}
+
+int decode_png_raw8(FILE* f, std::vector<uint8_t>* pixels, int* w, int* h) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (png == nullptr) return 0;
+  png_infop info = png_create_info_struct(png);
+  if (info == nullptr) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return 0;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 0;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  const png_byte color = png_get_color_type(png, info);
+  if (png_get_bit_depth(png, info) == 16) png_set_strip_16(png);
+  if (png_get_bit_depth(png, info) < 8) png_set_packing(png);
+  if (color == PNG_COLOR_TYPE_RGB || color == PNG_COLOR_TYPE_RGB_ALPHA) {
+    // true-color label maps are not expected; reduce to the red channel
+    png_set_strip_alpha(png);
+  } else if (color == PNG_COLOR_TYPE_GRAY_ALPHA) {
+    png_set_strip_alpha(png);
+  }
+  // PALETTE stays as raw indices (no png_set_palette_to_rgb): these are the
+  // LIP class labels.
+  png_read_update_info(png, info);
+  *w = static_cast<int>(png_get_image_width(png, info));
+  *h = static_cast<int>(png_get_image_height(png, info));
+  const int in_ch = static_cast<int>(png_get_channels(png, info));
+  std::vector<uint8_t> row(static_cast<size_t>(*w) * in_ch);
+  pixels->resize(static_cast<size_t>(*w) * *h);
+  for (int y = 0; y < *h; ++y) {
+    png_read_row(png, row.data(), nullptr);
+    uint8_t* dst = pixels->data() + static_cast<size_t>(y) * *w;
+    if (in_ch == 1) {
+      std::memcpy(dst, row.data(), *w);
+    } else {
+      for (int x = 0; x < *w; ++x) dst[x] = row[static_cast<size_t>(x) * in_ch];
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 1;
+}
+
+// Decode one image file (PNG or JPEG by magic) into a (out_h, out_w,
+// channels) u8 crop. Returns 1 on success, 0 on failure (slot zeroed).
+int decode_one_image(const char* path, uint8_t* out, int out_h, int out_w,
+                     int channels) {
+  std::memset(out, 0,
+              static_cast<size_t>(out_h) * out_w * channels);
+  FILE* f = std::fopen(path, "rb");
+  if (f == nullptr) return 0;
+  uint8_t magic[8] = {0};
+  const size_t got = std::fread(magic, 1, 8, f);
+  std::rewind(f);
+  std::vector<uint8_t> pixels;
+  int w = 0, h = 0, ok = 0;
+  const bool is_png = got >= 8 && magic[0] == 0x89 && magic[1] == 'P' &&
+                      magic[2] == 'N' && magic[3] == 'G';
+  const bool is_jpeg = got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8;
+  if (is_png) {
+    if (channels == 1) {
+      ok = decode_png_raw8(f, &pixels, &w, &h);
+    } else {
+      std::fclose(f);
+      f = nullptr;
+      ok = decode_png_rgb(path, &pixels, &w, &h);
+    }
+  } else if (is_jpeg) {
+    ok = decode_jpeg(f, channels, &pixels, &w, &h);
+  }
+  if (f != nullptr) std::fclose(f);
+  if (!ok || w <= 0 || h <= 0) return 0;
+  center_crop_into(pixels.data(), h, w, out, out_h, out_w, channels);
+  return 1;
+}
+
+struct DecodeBatchCtx {
+  const char** paths;
+  uint8_t* out;
+  int out_h, out_w, channels;
+  int32_t* valid;
+};
+
+void decode_body(int i, void* raw) {
+  auto* ctx = static_cast<DecodeBatchCtx*>(raw);
+  uint8_t* dst = ctx->out + static_cast<size_t>(i) * ctx->out_h * ctx->out_w *
+                                ctx->channels;
+  ctx->valid[i] = decode_one_image(ctx->paths[i], dst, ctx->out_h, ctx->out_w,
+                                   ctx->channels);
+}
+
 void parallel_for(int n, int n_threads, void (*body)(int, void*), void* ctx) {
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
+  if (n_threads == 1) {
+    // inline: spawning a thread costs more than decoding one small file
+    for (int i = 0; i < n; ++i) body(i, ctx);
+    return;
+  }
   std::atomic<int> next(0);
   auto worker = [&]() {
     while (true) {
@@ -140,6 +320,16 @@ int center_crop_u8_batch(const uint8_t** srcs, int n, int src_h, int src_w,
   CropBatchCtx ctx{srcs, src_h, src_w, channels, out, out_h, out_w};
   parallel_for(n, n_threads, crop_body, &ctx);
   return n;
+}
+
+int decode_image_batch(const char** paths, int n, uint8_t* out, int out_h,
+                       int out_w, int channels, int32_t* valid,
+                       int n_threads) {
+  DecodeBatchCtx ctx{paths, out, out_h, out_w, channels, valid};
+  parallel_for(n, n_threads, decode_body, &ctx);
+  int ok = 0;
+  for (int i = 0; i < n; ++i) ok += valid[i];
+  return ok;
 }
 
 }  // extern "C"
