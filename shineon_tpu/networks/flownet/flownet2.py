@@ -40,7 +40,8 @@ def _conv(features, k, s, name):
 def _deconv(features, name):
     # torch ConvTranspose2d(k4, s2, p1) doubles the spatial size; flax's
     # equivalent is padding="SAME" (out = in * stride). Tap alignment is
-    # verified against the torch checkpoint in the converter.
+    # golden-tested against a torch oracle in
+    # tests/test_flownet_golden.py::test_deconv_tap_alignment.
     return nn.ConvTranspose(
         features, (4, 4), strides=(2, 2), padding="SAME", name=name
     )
@@ -263,8 +264,8 @@ class FlowNet2(nn.Module):
         sd_in = jnp.concatenate([x1, x2], axis=-1)
         flowsd_2 = FlowNetSD(name="flownets_d")(sd_in)
         # flownet2-pytorch upsamples the SD flow divided by div_flow (the SD
-        # net is trained on small displacements); validated against the torch
-        # checkpoint during conversion
+        # net is trained on small displacements); golden-tested end-to-end in
+        # tests/test_flownet_golden.py::test_flownet2_full_stack_golden
         flow_sd = _upsample_bilinear(flowsd_2, 4) / self.div_flow
 
         # --- fusion
@@ -291,6 +292,18 @@ def convert_torch_flownet2_state_dict(state_dict) -> dict:
     torch sub-module names: flownetc.*, flownets_1.*, flownets_2.*,
     flownets_d.*, flownetfusion.*; layers inside are Sequential(conv, lrelu)
     so weights live at e.g. ``flownetc.conv1.0.weight``.
+
+    Validation: tests/test_flownet_golden.py rebuilds the torch graph with the
+    checkpoint's exact key layout and asserts forward parity of every
+    sub-network AND the full stack against this conversion. To validate the
+    real NVIDIA checkpoint offline::
+
+        import torch
+        sd = torch.load("FlowNet2_checkpoint.pth.tar",
+                        map_location="cpu")["state_dict"]
+        variables = convert_torch_flownet2_state_dict(sd)
+        # run FlowNet2().apply(variables, im1, im2) on a Sintel pair and
+        # compare EPE against the published torch output for the same pair.
     """
     import numpy as np
 
@@ -331,4 +344,19 @@ def convert_torch_flownet2_state_dict(state_dict) -> dict:
             entry["kernel"] = deconv_kernel(value) if is_deconv else conv_kernel(value)
         elif leaf == "bias":
             entry["bias"] = np.asarray(value)
+
+    # bias=False layers in the torch graph (e.g. the upsampled_flow*
+    # ConvTranspose2d's) have no bias entry; the flax modules expect one, so
+    # fill zeros (mathematically identical)
+    def fill_missing_bias(tree):
+        for value in tree.values():
+            if "kernel" in value:
+                if "bias" not in value:
+                    value["bias"] = np.zeros(
+                        (value["kernel"].shape[-1],), np.float32
+                    )
+            else:
+                fill_missing_bias(value)
+
+    fill_missing_bias(params)
     return {"params": params}
