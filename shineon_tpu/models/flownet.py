@@ -60,7 +60,7 @@ class FlowNet:
 
     def _load(self, checkpoint_path, rng_seed):
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        variables = self.model.init(jax.random.PRNGKey(rng_seed), dummy, dummy)
+        variables = jax.jit(self.model.init)(jax.random.PRNGKey(rng_seed), dummy, dummy)
         path = checkpoint_path or os.environ.get("SHINEON_FLOWNET2_WEIGHTS", "")
         if path and osp.exists(path):
             import torch

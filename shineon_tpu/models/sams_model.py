@@ -190,7 +190,12 @@ class SamsModel(BaseModel):
         current = {
             name: jnp.zeros((B, H, W, channels_for(name))) for name in self.inputs
         }
-        g_vars = self.generator.init(rngs[0], prev_frames, prev_maps, current)
+        # jit the inits: eagerly-executed init dispatches thousands of tiny
+        # ops (a round trip each on remote-tunneled devices); one compiled
+        # program initializes in seconds
+        g_vars = jax.jit(self.generator.init)(
+            rngs[0], prev_frames, prev_maps, current
+        )
 
         def make_tx(lr):
             return make_optimizer(
@@ -210,10 +215,10 @@ class SamsModel(BaseModel):
         }
         if self.is_train:
             sem_ch = self.person_channels + self.cloth_channels
-            dm_vars = self.multiscale_discriminator.init(
+            dm_vars = jax.jit(self.multiscale_discriminator.init)(
                 rngs[1], jnp.zeros((2 * B, H, W, sem_ch + RGB_CHANNELS))
             )
-            dt_vars = self.temporal_discriminator.init(
+            dt_vars = jax.jit(self.temporal_discriminator.init)(
                 rngs[2], jnp.zeros((2 * B, H, W, self.temporal_in_channels))
             )
             self._tx["d_multi"] = make_tx(lr_d)

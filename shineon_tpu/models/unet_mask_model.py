@@ -81,7 +81,7 @@ class UnetMaskModel(BaseModel):
         x = jnp.zeros(
             (1, H, W, (self.person_channels + self.cloth_channels) * n), jnp.float32
         )
-        variables = self.unet.init(rng, x, train=False)
+        variables = jax.jit(lambda r, a: self.unet.init(r, a, train=False))(rng, x)
         self._tx = make_optimizer(
             getattr(self.opt, "lr", 1e-4),
             getattr(self.opt, "keep_epochs", 5),

@@ -59,7 +59,9 @@ class WarpModel(BaseModel):
         H, W = self.opt.fine_height, self.opt.fine_width
         person = jnp.zeros((1, H, W, self.person_channels), jnp.float32)
         cloth = jnp.zeros((1, H, W, self.cloth_channels), jnp.float32)
-        variables = self.gmm.init(rng, person, cloth, train=False)
+        variables = jax.jit(
+            lambda r, p, c: self.gmm.init(r, p, c, train=False)
+        )(rng, person, cloth)
         self._tx = make_optimizer(
             self.opt.lr if hasattr(self.opt, "lr") else 1e-4,
             getattr(self.opt, "keep_epochs", 5),

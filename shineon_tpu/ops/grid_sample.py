@@ -3,14 +3,27 @@
 Reference usage: models/warp_model.py:85-88 and the flownet2 Resample2d op
 (SURVEY §2.9). On TPU the right implementation is an XLA gather: the four corner
 reads become batched dynamic-gathers that XLA lowers to native TPU gather
-instructions and fuses with the surrounding elementwise math, and reverse-mode
-autodiff gives the scatter-add backward for free. (A hand-rolled Pallas gather
-would serialize per-element index reads; gathers are the one op class where the
-XLA lowering is already speed-of-light.)
+instructions and fuses with the surrounding elementwise math.
+
+The BACKWARD is where the naive lowering dies: reverse-mode autodiff of a
+gather is a scatter-add, and XLA:TPU serializes scatter-add with duplicate
+indices into a per-element while loop (measured: ~4.2 s/step inside the SAMS
+train step at 256x192 — two thirds of the whole step, docs/PROFILE.md r2).
+This module therefore defines a custom VJP:
+
+  * d/d image — bilinear splatting is SEPARABLE: each output pixel p
+    contributes to source rows via a 2-sparse weight vector Wy[p, :] and to
+    source cols via Wx[p, :], so
+        d_image[y, x, c] = sum_p Wy[p, y] * g[p, c] * Wx[p, x]
+    which is two dense batched matmuls on the MXU (one-hot weight matrices),
+    no scatter at all;
+  * d/d grid — elementwise weight derivatives against the gathered corner
+    values (gathers only, same as the forward).
 
 Semantics match ``torch.nn.functional.grid_sample(..., mode="bilinear")`` with
 ``align_corners=False`` (the PyTorch>=1.3 default the reference runs with under
-torch 1.6) for both ``padding_mode="zeros"`` and ``"border"``.
+torch 1.6) for both ``padding_mode="zeros"`` and ``"border"``, including the
+clipped-coordinate zero-gradient rule of the border mode.
 """
 
 from __future__ import annotations
@@ -22,6 +35,10 @@ import jax.numpy as jnp
 
 __all__ = ["grid_sample", "resample2d"]
 
+# d_image adjoint: above this channel count the dense one-hot contraction
+# stops being obviously cheaper than a scatter; fall back to XLA's autodiff.
+_DENSE_ADJOINT_MAX_CHANNELS = 16
+
 
 def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
     """Map [-1, 1] -> pixel coordinates, torch grid_sampler_unnormalize."""
@@ -31,55 +48,37 @@ def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndar
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
-@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
-def grid_sample(
-    image: jnp.ndarray,
-    grid: jnp.ndarray,
-    padding_mode: str = "zeros",
-    align_corners: bool = False,
-) -> jnp.ndarray:
-    """Bilinearly sample ``image`` at normalized ``grid`` locations.
+def _coords_and_weights(image_shape, grid, padding_mode, align_corners):
+    """Shared forward/backward coordinate math. Returns the raw (pre-clip)
+    coordinates, the corner bases, and the bilinear weights."""
+    B, H, W, C = image_shape
+    compute_dtype = jnp.promote_types(grid.dtype, jnp.float32)
 
-    Args:
-      image: (B, H, W, C) input.
-      grid: (B, Hg, Wg, 2); ``grid[..., 0]`` is x (width coord), ``grid[..., 1]``
-        is y, both in [-1, 1] (same convention as torch).
-      padding_mode: "zeros" or "border".
-      align_corners: corner-pixel convention (torch semantics).
-
-    Returns:
-      (B, Hg, Wg, C) sampled output.
-    """
-    if padding_mode not in ("zeros", "border"):
-        raise ValueError(f"unsupported padding_mode: {padding_mode}")
-    B, H, W, C = image.shape
-    compute_dtype = jnp.promote_types(image.dtype, jnp.float32)
-
-    gx = _unnormalize(grid[..., 0].astype(compute_dtype), W, align_corners)
-    gy = _unnormalize(grid[..., 1].astype(compute_dtype), H, align_corners)
+    gx_raw = _unnormalize(grid[..., 0].astype(compute_dtype), W, align_corners)
+    gy_raw = _unnormalize(grid[..., 1].astype(compute_dtype), H, align_corners)
 
     if padding_mode == "border":
         # torch clips the *source* coordinate before computing corners.
-        gx = jnp.clip(gx, 0.0, W - 1)
-        gy = jnp.clip(gy, 0.0, H - 1)
+        gx = jnp.clip(gx_raw, 0.0, W - 1)
+        gy = jnp.clip(gy_raw, 0.0, H - 1)
+    else:
+        gx, gy = gx_raw, gy_raw
 
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
-
-    # Interpolation weights before clipping the corner indices.
-    wx1 = gx - x0  # weight for x1
-    wx0 = 1.0 - wx1
+    wx1 = gx - x0  # weight for x0 + 1
     wy1 = gy - y0
-    wy0 = 1.0 - wy1
+    return gx_raw, gy_raw, gx, gy, x0, y0, wx1, wy1
 
-    # ONE 2x2xC block gather per output pixel instead of four per-corner
-    # gathers: pad the image by one pixel on each spatial side (zeros or edge
-    # per the padding mode) so the block at (y0+1, x0+1) always contains the
-    # four bilinear corners; far-out-of-range corners are masked afterwards
-    # (zeros mode). Gathers move 4C contiguous floats per index — a 4x
-    # reduction in gather dispatches, which dominate the flow-warp cost.
+
+def _gather_corner_blocks(image, x0, y0, padding_mode):
+    """ONE 2x2xC block gather per output pixel instead of four per-corner
+    gathers: pad the image by one pixel on each spatial side (zeros or edge
+    per the padding mode) so the block at (y0+1, x0+1) always contains the
+    four bilinear corners; far-out-of-range corners are masked afterwards
+    (zeros mode). Gathers move 4C contiguous floats per index — a 4x
+    reduction in gather dispatches, which dominate the flow-warp cost."""
+    B, H, W, C = image.shape
     pad_kwargs = (
         {"mode": "edge"} if padding_mode == "border"
         else {"mode": "constant", "constant_values": 0}
@@ -111,6 +110,8 @@ def grid_sample(
     v11 = blocks[..., 1, 1, :]
 
     if padding_mode == "zeros":
+        x1, y1 = x0 + 1.0, y0 + 1.0
+
         def mask(v, ix, iy):
             in_bounds = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
             return jnp.where(in_bounds[..., None], v, 0.0)
@@ -119,7 +120,16 @@ def grid_sample(
         v01 = mask(v01, x1, y0)
         v10 = mask(v10, x0, y1)
         v11 = mask(v11, x1, y1)
+    return v00, v01, v10, v11
 
+
+def _grid_sample_impl(image, grid, padding_mode, align_corners):
+    _, _, _, _, x0, y0, wx1, wy1 = _coords_and_weights(
+        image.shape, grid, padding_mode, align_corners
+    )
+    v00, v01, v10, v11 = _gather_corner_blocks(image, x0, y0, padding_mode)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
     out = (
         v00 * (wx0 * wy0)[..., None]
         + v01 * (wx1 * wy0)[..., None]
@@ -127,6 +137,130 @@ def grid_sample(
         + v11 * (wx1 * wy1)[..., None]
     )
     return out.astype(image.dtype)
+
+
+def _axis_weight_matrix(c0, w1, size, padding_mode):
+    """Dense per-pixel splat weights over one source axis.
+
+    Args:
+      c0: (B, P) floor corner coordinate along the axis (pre-clip, float).
+      w1: (B, P) bilinear weight of corner c0+1 (w0 = 1 - w1).
+      size: source extent along the axis.
+    Returns: (B, P, size) — 2-sparse rows, W[b, p, s] = splat weight of output
+      pixel p onto source index s.
+    """
+    dtype = w1.dtype
+    w0 = 1.0 - w1
+    if padding_mode == "zeros":
+        # out-of-range corners contribute nothing (forward masks them)
+        in0 = (c0 >= 0) & (c0 <= size - 1)
+        in1 = (c0 + 1 >= 0) & (c0 + 1 <= size - 1)
+        w0 = jnp.where(in0, w0, 0.0)
+        w1 = jnp.where(in1, w1, 0.0)
+    i0 = jnp.clip(c0, 0, size - 1).astype(jnp.int32)
+    i1 = jnp.clip(c0 + 1, 0, size - 1).astype(jnp.int32)
+    # one_hot rows; where i0 == i1 (border clip at the edge) the two
+    # contributions add, matching the clipped forward exactly
+    eye0 = jax.nn.one_hot(i0, size, dtype=dtype)
+    eye1 = jax.nn.one_hot(i1, size, dtype=dtype)
+    return eye0 * w0[..., None] + eye1 * w1[..., None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grid_sample_cv(image, grid, padding_mode, align_corners):
+    return _grid_sample_impl(image, grid, padding_mode, align_corners)
+
+
+def _grid_sample_fwd(image, grid, padding_mode, align_corners):
+    return _grid_sample_impl(image, grid, padding_mode, align_corners), (
+        image, grid,
+    )
+
+
+def _grid_sample_bwd(padding_mode, align_corners, residuals, g):
+    image, grid = residuals
+    B, H, W, C = image.shape
+    gx_raw, gy_raw, gx, gy, x0, y0, wx1, wy1 = _coords_and_weights(
+        image.shape, grid, padding_mode, align_corners
+    )
+    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
+    P = int(gx.shape[-2] * gx.shape[-1]) if gx.ndim == 3 else int(gx.shape[-1])
+    lead = gx.shape[:1]
+    flat = lambda a: a.reshape(lead + (-1,))  # noqa: E731
+
+    # ---- d image: separable dense splat (two MXU matmuls per channel) ----
+    Wy = _axis_weight_matrix(flat(y0), flat(wy1), H, padding_mode)  # (B,P,H)
+    Wx = _axis_weight_matrix(flat(x0), flat(wx1), W, padding_mode)  # (B,P,W)
+    g_flat = gf.reshape(lead + (P, C))
+    d_img_channels = []
+    for c in range(C):  # C is static and small for warp workloads
+        # (B,P,H)*(B,P,1) then contract P: (B,H,P) @ (B,P,W) -> (B,H,W)
+        d_img_channels.append(
+            jnp.einsum(
+                "bph,bpw->bhw", Wy * g_flat[..., c:c + 1], Wx,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    d_image = jnp.stack(d_img_channels, axis=-1).astype(image.dtype)
+
+    # ---- d grid: weight derivatives against the gathered corner values ----
+    v00, v01, v10, v11 = _gather_corner_blocks(image, x0, y0, padding_mode)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    # dout/dgx = wy0*(v01-v00) + wy1*(v11-v10); dout/dgy symmetric
+    d_gx = jnp.sum(
+        gf * (
+            (v01 - v00) * wy0[..., None] + (v11 - v10) * wy1[..., None]
+        ).astype(gf.dtype),
+        axis=-1,
+    )
+    d_gy = jnp.sum(
+        gf * (
+            (v10 - v00) * wx0[..., None] + (v11 - v01) * wx1[..., None]
+        ).astype(gf.dtype),
+        axis=-1,
+    )
+    if padding_mode == "border":
+        # clipped coordinates have zero gradient (torch border semantics)
+        d_gx = jnp.where((gx_raw >= 0) & (gx_raw <= W - 1), d_gx, 0.0)
+        d_gy = jnp.where((gy_raw >= 0) & (gy_raw <= H - 1), d_gy, 0.0)
+    # unnormalize scale: d gx / d grid_x
+    if align_corners:
+        sx, sy = (W - 1) / 2.0, (H - 1) / 2.0
+    else:
+        sx, sy = W / 2.0, H / 2.0
+    d_grid = jnp.stack([d_gx * sx, d_gy * sy], axis=-1).astype(grid.dtype)
+    return d_image, d_grid
+
+
+_grid_sample_cv.defvjp(_grid_sample_fwd, _grid_sample_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
+def grid_sample(
+    image: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Bilinearly sample ``image`` at normalized ``grid`` locations.
+
+    Args:
+      image: (B, H, W, C) input.
+      grid: (B, Hg, Wg, 2); ``grid[..., 0]`` is x (width coord), ``grid[..., 1]``
+        is y, both in [-1, 1] (same convention as torch).
+      padding_mode: "zeros" or "border".
+      align_corners: corner-pixel convention (torch semantics).
+
+    Returns:
+      (B, Hg, Wg, C) sampled output.
+    """
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    C = image.shape[-1]
+    if C <= _DENSE_ADJOINT_MAX_CHANNELS:
+        return _grid_sample_cv(image, grid, padding_mode, align_corners)
+    return _grid_sample_impl(image, grid, padding_mode, align_corners)
 
 
 @functools.partial(jax.jit, static_argnames=("padding_mode",))
@@ -138,8 +272,10 @@ def resample2d(
     ``out[b, y, x] = image[b, y + flow_y, x + flow_x]`` with bilinear
     interpolation; replaces the CUDA resample2d_package op consumed at
     models/unet_mask_model.py:22,60 and models/sams_model.py:16,95 in the
-    reference. Differentiable w.r.t. ``image`` (the reference treats flow as
-    data, but the gather is differentiable in both arguments here).
+    reference. Differentiable w.r.t. ``image`` (the reference backprops the
+    temporal compositing through its CUDA op's atomicAdd backward,
+    sams_model.py:234-236 — here the adjoint is the dense separable splat, see
+    module docstring) and w.r.t. ``flow``.
 
     Args:
       image: (B, H, W, C).
