@@ -17,32 +17,47 @@ from shineon_tpu.datasets.flow_utils import write_flow
 H, W = 256, 192
 
 
-def _person_image(rng) -> np.ndarray:
-    img = np.full((H, W, 3), 230, np.uint8)
-    img[40:220, 60:130] = rng.randint(40, 200, 3)  # torso blob
-    img[20:48, 80:110] = (200, 170, 150)  # head
+def _box(h, w, y0, y1, x0, x1):
+    """Scale a 256x192-reference box to an (h, w) canvas."""
+    return (
+        slice(y0 * h // H, y1 * h // H),
+        slice(x0 * w // W, x1 * w // W),
+    )
+
+
+def _person_image(rng, torso_color=None, h=H, w=W) -> np.ndarray:
+    img = np.full((h, w, 3), 230, np.uint8)
+    color = rng.randint(40, 200, 3) if torso_color is None else torso_color
+    img[_box(h, w, 40, 220, 60, 130)] = color  # torso blob
+    img[_box(h, w, 20, 48, 80, 110)] = (200, 170, 150)  # head
     return img
 
 
-def _parse_map(rng) -> np.ndarray:
-    parse = np.zeros((H, W), np.uint8)
-    parse[40:220, 60:130] = 5  # upper clothes
-    parse[20:48, 80:110] = 13  # face
-    parse[48:60, 85:105] = 2  # hair-ish
-    parse[180:220, 60:130] = 9  # pants
+def _parse_map(rng, h=H, w=W) -> np.ndarray:
+    parse = np.zeros((h, w), np.uint8)
+    parse[_box(h, w, 40, 220, 60, 130)] = 5  # upper clothes
+    parse[_box(h, w, 20, 48, 80, 110)] = 13  # face
+    parse[_box(h, w, 48, 60, 85, 105)] = 2  # hair-ish
+    parse[_box(h, w, 180, 220, 60, 130)] = 9  # pants
     return parse
 
 
-def _cloth_image(rng) -> np.ndarray:
-    img = np.full((H, W, 3), 255, np.uint8)  # white background
-    img[60:200, 50:140] = rng.randint(30, 220, 3)
+def _cloth_image(rng, color=None, h=H, w=W) -> np.ndarray:
+    img = np.full((h, w, 3), 255, np.uint8)  # white background
+    img[_box(h, w, 60, 200, 50, 140)] = (
+        rng.randint(30, 220, 3) if color is None else color
+    )
     return img
 
 
-def _keypoints(rng) -> dict:
+def _keypoints(rng, h=H, w=W) -> dict:
     kp = []
+    margin_x, margin_y = max(w // 20, 2), max(h // 26, 2)
     for _ in range(18):
-        kp.extend([float(rng.randint(10, W - 10)), float(rng.randint(10, H - 10)), 1.0])
+        kp.extend([
+            float(rng.randint(margin_x, w - margin_x)),
+            float(rng.randint(margin_y, h - margin_y)), 1.0,
+        ])
     return {"people": [{"pose_keypoints": kp}]}
 
 
@@ -77,6 +92,7 @@ def make_viton_fixture(root: str, n: int = 4, datamode: str = "train", seed: int
 def make_vvt_fixture(
     root: str, n_videos: int = 2, frames: int = 6, datamode: str = "train",
     seed: int = 0, with_flow: bool = True, with_densepose: bool = True,
+    height: int = H, width: int = W,
 ):
     """VVT tree (vvt_dataset.py layout): video frame folders + parsing/
     keypoint/densepose/optical_flow annotation folders + clothes_person."""
@@ -92,32 +108,39 @@ def make_vvt_fixture(
         for d in (fdir, pdir, kdir, ddir, odir, cdir):
             os.makedirs(d, exist_ok=True)
         up_vid, up_g = vid.upper().split("-")
-        Image.fromarray(_cloth_image(rng)).save(
+        # one garment color per video, worn by the person in every frame —
+        # the reconstruction task (cloth == what the person wears) must be
+        # satisfiable for overfit/quality tests to converge
+        cloth_color = rng.randint(30, 220, 3)
+        h, w = height, width
+        Image.fromarray(_cloth_image(rng, cloth_color, h, w)).save(
             osp.join(cdir, f"{up_vid}-{up_g}=cloth_front.jpg")
         )
         # per-frame GMM-warped cloths for the TOM stage
         wdir = osp.join(root, datamode, "warp-cloth", up_vid)
         os.makedirs(wdir, exist_ok=True)
         for t in range(frames):
-            Image.fromarray(_cloth_image(rng)).save(
+            Image.fromarray(_cloth_image(rng, cloth_color, h, w)).save(
                 osp.join(wdir, f"{up_vid}-{up_g}=cloth_front_frame_{t:03d}.png")
             )
         for t in range(frames):
             name = f"frame_{t:03d}"
-            Image.fromarray(_person_image(rng)).save(osp.join(fdir, f"{name}.png"))
-            Image.fromarray(_parse_map(rng)).save(
+            Image.fromarray(_person_image(rng, cloth_color, h, w)).save(
+                osp.join(fdir, f"{name}.png")
+            )
+            Image.fromarray(_parse_map(rng, h, w)).save(
                 osp.join(pdir, f"{name}_label.png")
             )
             with open(osp.join(kdir, f"{name}_keypoints.json"), "w") as f:
-                json.dump(_keypoints(rng), f)
+                json.dump(_keypoints(rng, h, w), f)
             if with_densepose:
                 Image.fromarray(
-                    rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+                    rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
                 ).save(osp.join(ddir, f"{name}_IUV.png"))
             if with_flow:
                 write_flow(
                     osp.join(odir, f"{name}.flo"),
-                    rng.randn(H, W, 2).astype(np.float32),
+                    rng.randn(h, w, 2).astype(np.float32),
                 )
 
 
