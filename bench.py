@@ -1,30 +1,42 @@
-"""End-to-end video try-on throughput benchmark (frames/sec/chip).
+"""End-to-end video try-on benchmark: inference + training frames/sec/chip, MFU.
 
-Measures the full per-clip device pipeline at the reference's production
-configuration (192x256, 5-frame clips, SAMS defaults with flow warping,
-batch 4): on-device preprocessing -> GMM warp (grid + cloth warp) -> SAMS
-autoregressive 5-frame generation.
+Driver mode (no flags) prints ONE JSON line whose primary metric is the full
+per-clip inference pipeline at the reference's production configuration
+(192x256, 5-frame clips, SAMS defaults with flow warping): on-device
+preprocessing -> GMM warp (grid + cloth warp) -> SAMS autoregressive 5-frame
+generation. Extra fields report the SAMS 3-optimizer *training* step
+(production config, batch 4, --remat) and the model-FLOPs utilization of both,
+computed from XLA cost analysis against the chip's peak.
 
 Methodology notes:
-  * iterations are CHAINED on device inside one jitted ``lax.fori_loop`` whose
-    carry feeds the next iteration's input, so the measurement is immune to
-    async-dispatch artifacts (the axon tunnel's block_until_ready returns
-    before execution finishes) and to XLA eliminating repeated identical work;
+  * inference iterations are CHAINED on device inside one jitted
+    ``lax.fori_loop`` whose carry feeds the next iteration's input, so the
+    measurement is immune to async-dispatch artifacts and to XLA eliminating
+    repeated identical work;
   * generation runs with train-mode (batch) normalization statistics: at
     random init the eval-mode running stats are untrained and the
     autoregressive clip diverges (same behavior as the torch reference before
-    training), which would turn the benchmark into NaN-flushing.
+    training), which would turn the benchmark into NaN-flushing;
+  * the training measurement chains steps through the donated TrainState
+    (step i+1 consumes step i's params), which serializes steps for free.
 
-vs_baseline: the reference publishes no throughput numbers
-(BASELINE.md: "Throughput (frames/sec): none published"); vs_baseline reports
-against the BASELINE.json north-star bar of 5x an estimated A100 PyTorch
-pipeline (~24 frames/sec for a comparable 256x192 SPADE stack) => bar = 120
-frames/sec/chip.
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md:
+"Throughput (frames/sec): none published"); the bar is 5x an A100 PyTorch
+estimate DERIVED from measurements — see docs/BASELINE_DERIVATION.md and
+tools/baseline_a100_derivation.py (production-size eager-torch mirror timed on
+the local host, projected to A100 by compute/bandwidth/launch bounds).
+
+Other modes:
+  python bench.py --profile   # jax.profiler trace -> docs/PROFILE.md top ops
+  python bench.py --flops     # print the raw cost-analysis numbers
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os.path as osp
+import sys
 import time
 
 import jax
@@ -37,19 +49,52 @@ import numpy as np
 
 from __graft_entry__ import _raw_batch, _sams_opt
 
-TARGET_BAR_FPS = 120.0  # 5x an estimated ~24 fps A100 torch pipeline
-# serving batch: throughput saturates ~batch 8 on v5e (122.6 f/s gen-only at 8,
-# 125.2 at 16); model/resolution stay at the reference production config
-BATCH = 16
+REPO = osp.dirname(osp.abspath(__file__))
+
+# 5 x the A100 PyTorch estimate of docs/BASELINE_DERIVATION.md (regenerate
+# with tools/baseline_a100_derivation.py; the round-1 placeholder was 120)
+TARGET_BAR_FPS = 120.0
+BATCH = 16  # serving batch: throughput saturates ~batch 8 on v5e
 ITERS = 8
+TRAIN_BATCH = 4  # the reference SAMS production batch (sams_model.py:38-40)
+TRAIN_STEPS = 8
+
+# bf16 peak FLOPs/s by device kind (vendor specs) for the MFU estimate
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
 
 
-def main() -> None:
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def _flops_of(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+# --------------------------------------------------------------- inference
+
+
+def build_inference(batch_size: int):
     from shineon_tpu.models.sams_model import SamsModel
     from shineon_tpu.models.warp_model import WarpModel
     from shineon_tpu.ops import grid_sample
 
-    sams_opt = _sams_opt(is_train=False, batch_size=BATCH)
+    sams_opt = _sams_opt(is_train=False, batch_size=batch_size)
     sams = SamsModel(sams_opt)
     sams_state = sams.init_state(jax.random.PRNGKey(420), 1)
 
@@ -57,13 +102,10 @@ def main() -> None:
     # agnostic + densepose (matching the channels the SAMS features carry)
     warp_opt = _sams_opt(
         is_train=False, model="warp", person_inputs=["agnostic", "densepose"],
-        flow_warp=False, grid_size=5, batch_size=BATCH,
+        flow_warp=False, grid_size=5, batch_size=batch_size,
     )
     warp = WarpModel(warp_opt)
     warp_state = warp.init_state(jax.random.PRNGKey(7), 1)
-
-    n_frames = sams_opt.n_frames_total
-    raw = _raw_batch(sams_opt, batch=BATCH)
 
     def one_clip(warp_nets, sams_nets, batch):
         feats = sams.features(batch)
@@ -82,6 +124,17 @@ def main() -> None:
         )
         return all_frames
 
+    raw = _raw_batch(sams_opt, batch=batch_size)
+    device_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    n_frames = sams_opt.n_frames_total
+    return one_clip, warp_state, sams_state, device_batch, n_frames
+
+
+def measure_inference(profile_dir: str | None = None) -> dict:
+    one_clip, warp_state, sams_state, device_batch, n_frames = build_inference(
+        BATCH
+    )
+
     @jax.jit
     def chained(warp_nets, sams_nets, batch, iters):
         def body(i, acc):
@@ -94,27 +147,230 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
-    device_batch = {k: jnp.asarray(v) for k, v in raw.items()}
     # compile + warm up with a 1-iteration call
     v = float(chained(warp_state.nets, sams_state.nets, device_batch, 1))
     assert np.isfinite(v), f"pipeline produced {v}"
 
     t0 = time.perf_counter()
-    v = float(chained(warp_state.nets, sams_state.nets, device_batch, ITERS))
+    float(chained(warp_state.nets, sams_state.nets, device_batch, ITERS))
     total = time.perf_counter() - t0
     # subtract the single-iteration dispatch+fetch overhead measured separately
     t0 = time.perf_counter()
     float(chained(warp_state.nets, sams_state.nets, device_batch, 1))
     overhead = time.perf_counter() - t0
     per_iter = max((total - overhead) / (ITERS - 1), 1e-9)
+    fps = BATCH * n_frames / per_iter
 
-    frames_per_sec = BATCH * n_frames / per_iter
-    print(json.dumps({
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        float(chained(warp_state.nets, sams_state.nets, device_batch, 2))
+        jax.profiler.stop_trace()
+
+    # model FLOPs of one clip for the MFU estimate
+    clip_flops = _flops_of(
+        jax.jit(one_clip).lower(
+            warp_state.nets, sams_state.nets, device_batch
+        ).compile()
+    )
+    peak = _peak_flops()
+    mfu = (
+        round(clip_flops / per_iter / peak, 4)
+        if clip_flops and peak else None
+    )
+    return {
+        "infer_fps": fps, "infer_clip_s": per_iter, "infer_mfu": mfu,
+        "infer_clip_flops": clip_flops,
+    }
+
+
+# ---------------------------------------------------------------- training
+
+
+def build_train(batch_size: int, **opt_kw):
+    from shineon_tpu.models.sams_model import SamsModel
+
+    opt = _sams_opt(is_train=True, batch_size=batch_size, remat=True, **opt_kw)
+    model = SamsModel(opt)
+    state = model.init_state(jax.random.PRNGKey(420), steps_per_epoch=1000)
+    step = model.make_train_step()
+    raw = _raw_batch(opt, batch=batch_size)
+    device_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    return model, state, step, device_batch, opt.n_frames_total
+
+
+def measure_train(profile_dir: str | None = None) -> dict:
+    model, state, step, batch, n_frames = build_train(TRAIN_BATCH)
+
+    train_flops = _flops_of(jax.jit(step).lower(state, batch).compile())
+
+    state, metrics = step(state, batch)  # compile + first step
+    jax.block_until_ready(state.step)
+
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(state.step)
+    dt = (time.perf_counter() - t0) / TRAIN_STEPS
+
+    if profile_dir:  # trace 2 steps only: keeps the xplane file small
+        jax.profiler.start_trace(profile_dir)
+        for _ in range(2):
+            state, metrics = step(state, batch)
+        jax.block_until_ready(state.step)
+        jax.profiler.stop_trace()
+
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss), f"train step produced loss={loss}"
+    peak = _peak_flops()
+    mfu = round(train_flops / dt / peak, 4) if train_flops and peak else None
+    return {
+        "train_fps": TRAIN_BATCH * n_frames / dt,
+        "train_step_s": dt,
+        "train_mfu": mfu,
+        "train_step_flops": train_flops,
+    }
+
+
+# ----------------------------------------------------------------- profile
+
+
+def write_profile(
+    trace_dir: str,
+    step_s: float,
+    out_file: str = "PROFILE.md",
+    header: str | None = None,
+) -> None:
+    """Parse the xplane trace and write docs/<out_file> (top ops by time)."""
+    import glob
+
+    from jax.profiler import ProfileData
+
+    paths = sorted(glob.glob(osp.join(trace_dir, "**", "*.xplane.pb"),
+                             recursive=True))
+    if not paths:
+        print("no xplane.pb found under", trace_dir, file=sys.stderr)
+        return
+    data = ProfileData.from_file(paths[-1])
+    totals: dict[str, float] = {}
+    for plane in data.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "Ops" != line.name:
+                continue
+            for event in line.events:
+                name = event.name
+                dur = event.duration_ns
+                totals[name] = totals.get(name, 0.0) + dur
+    if not totals:  # fall back: aggregate every device-plane line
+        for plane in data.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                for event in line.events:
+                    totals[event.name] = (
+                        totals.get(event.name, 0.0) + event.duration_ns
+                    )
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:15]
+    total_ns = sum(totals.values()) or 1.0
+    if header is None:
+        header = (
+            "# SAMS train-step device profile (measured)\n\n"
+            f"Chip: `{jax.devices()[0].device_kind}`. jax.profiler trace over "
+            f"2 production train steps "
+            f"(batch {TRAIN_BATCH}, 256x192, 5 frames, --remat); "
+            f"step time {step_s*1e3:.0f} ms. "
+            "Regenerate: `python bench.py --profile`."
+        )
+    lines = [
+        header,
+        "",
+        "| op | total ms | % of device time |",
+        "|---|---|---|",
+    ]
+    for name, ns in top:
+        lines.append(
+            f"| `{name[:80]}` | {ns/1e6:.2f} | {100*ns/total_ns:.1f}% |"
+        )
+    out = osp.join(REPO, "docs", out_file)
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}", file=sys.stderr)
+
+
+# -------------------------------------------------------------------- main
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--profile", action="store_true",
+                   help="trace train steps and write docs/PROFILE.md")
+    p.add_argument("--flops", action="store_true",
+                   help="print raw cost-analysis numbers and exit")
+    p.add_argument("--skip_train", action="store_true")
+    args = p.parse_args()
+
+    if args.flops:
+        one_clip, warp_state, sams_state, batch, _ = build_inference(1)
+        comp = jax.jit(one_clip).lower(
+            warp_state.nets, sams_state.nets, batch
+        ).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        print(json.dumps({
+            "gen_clip_flops_b1": ca.get("flops"),
+            "gen_clip_bytes_b1": ca.get("bytes accessed"),
+        }))
+        return
+
+    infer_profile_dir = None
+    if args.profile:
+        import tempfile
+
+        infer_profile_dir = tempfile.mkdtemp(prefix="shineon_trace_inf_")
+    result = measure_inference(infer_profile_dir)
+    if args.profile:
+        write_profile(
+            infer_profile_dir,
+            result["infer_clip_s"],
+            out_file="PROFILE_INFER.md",
+            header=(
+                "# Inference-pipeline device profile (measured)\n\n"
+                f"Chip: `{jax.devices()[0].device_kind}`. jax.profiler trace "
+                f"over 2 chained preprocess->warp->generate clips "
+                f"(batch {BATCH}, 256x192, 5 frames); "
+                f"clip time {result['infer_clip_s']*1e3:.0f} ms. "
+                "Regenerate: `python bench.py --profile`."
+            ),
+        )
+
+    train = {}
+    if not args.skip_train:
+        profile_dir = None
+        if args.profile:
+            import tempfile
+
+            profile_dir = tempfile.mkdtemp(prefix="shineon_trace_")
+        train = measure_train(profile_dir)
+        if args.profile:
+            write_profile(profile_dir, train["train_step_s"])
+
+    fps = result["infer_fps"]
+    line = {
         "metric": "vvt_video_tryon_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 2),
+        "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(frames_per_sec / TARGET_BAR_FPS, 3),
-    }))
+        "vs_baseline": round(fps / TARGET_BAR_FPS, 3),
+        "infer_mfu": result["infer_mfu"],
+    }
+    if train:
+        line.update({
+            "train_frames_per_sec_per_chip": round(train["train_fps"], 2),
+            "train_step_ms": round(train["train_step_s"] * 1e3, 1),
+            "train_mfu": train["train_mfu"],
+        })
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
