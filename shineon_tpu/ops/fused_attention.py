@@ -98,8 +98,11 @@ def _forward(q, k, v, tile_q):
     on_tpu = jax.devices()[0].platform == "tpu"
     N = q.shape[-2]
     # Mosaic wants lane-aligned tiles; oddly-shaped token counts take the
-    # einsum path (still fused reasonably by XLA).
-    if not on_tpu or N % 128 != 0:
+    # einsum path (still fused reasonably by XLA). Below ~1k tokens the
+    # (N, N) matrix is small enough that XLA's own fusion wins (measured:
+    # docs/ATTENTION_BENCH.md — einsum 1.5-2x faster at N=768, kernel
+    # 1.1-1.75x faster at N=3072), so the kernel only engages at large N.
+    if not on_tpu or N % 128 != 0 or N < 1024:
         return _attention_reference(q, k, v)
     tq = min(tile_q, N)
     return jax.vmap(lambda a, b, c: _pallas_attention_single(a, b, c, tq))(q, k, v)

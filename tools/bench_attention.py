@@ -46,15 +46,25 @@ def _time_fn(fn, args, iters: int) -> float:
             # slice of the output back into the next query
             return carry + out[..., :d].astype(carry.dtype) * 1e-20
 
-        return jax.lax.fori_loop(0, n, body, q)
+        final = jax.lax.fori_loop(0, n, body, q)
+        # reduce to a scalar: fetching a concrete value is the only reliable
+        # completion barrier through the axon tunnel (block_until_ready can
+        # return before execution finishes there)
+        return jnp.sum(final.astype(jnp.float32))
 
-    jax.block_until_ready(chained(q, k, v, 1))  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(chained(q, k, v, iters))
-    total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(chained(q, k, v, 1))
-    overhead = time.perf_counter() - t0
+    float(chained(q, k, v, 1))  # compile + warm
+
+    def timed(n):
+        # min over repeats: robust to host scheduling spikes
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chained(q, k, v, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    total = timed(iters)
+    overhead = timed(1)
     return max(total - overhead, 1e-9) / (iters - 1)
 
 
@@ -97,7 +107,7 @@ def bench_config(B: int, N: int, d: int, dv: int, dtype, iters: int) -> dict:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--iters", type=int, default=200)
     args = p.parse_args()
 
     platform = jax.devices()[0].platform
