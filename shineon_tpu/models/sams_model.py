@@ -293,8 +293,6 @@ class SamsModel(BaseModel):
         flows_per_t = (
             jnp.stack([flows[:, t] for t in ts], axis=0) if opt.flow_warp else None
         )
-        t_array = jnp.asarray(ts, jnp.int32)
-
         mutable_keys = list(g_stats.keys()) or ["batch_stats"]
 
         def _train_apply(variables, prev_frames, prev_maps, current_maps):
@@ -309,11 +307,15 @@ class SamsModel(BaseModel):
             _train_apply = jax.checkpoint(_train_apply)
 
         def body(carry, xs):
-            buffer, stats = carry
-            t, prev_maps, current_maps, flow_t = xs
-            # rotated prev window: buffer[(t+1)%N ... (t+N-1)%N]
-            rolled = jnp.roll(buffer, shift=-(t + 1), axis=1)
-            prev_frames = jax.lax.stop_gradient(rolled[:, : N - 1])
+            window, stats = carry  # (B, N-1, H, W, C): prev frames for THIS t
+            prev_maps, current_maps, flow_t = xs
+            # The reference's rotated ring-buffer window (sams_model.py:241-272,
+            # buffer[(t+1)%N .. (t+N-1)%N]) equals [oldest .. newest] with
+            # leading zeros for not-yet-generated frames — exactly a
+            # shift-and-append carry. The static shift replaces a traced
+            # jnp.roll + dynamic_update of the full (B, N, H, W, C) buffer
+            # (two whole-buffer copies per frame) with one (N-1)-window shift.
+            prev_frames = jax.lax.stop_gradient(window)
             variables = {"params": g_params, **stats}
             if train:
                 out, new_stats = _train_apply(
@@ -327,25 +329,40 @@ class SamsModel(BaseModel):
             fake = out[..., :RGB_CHANNELS]
             if opt.flow_warp:
                 wmask = out[..., RGB_CHANNELS:]
-                last_gen = jnp.where(
-                    t > 0,
-                    jax.lax.dynamic_index_in_dim(
-                        buffer, jnp.maximum(t - 1, 0), axis=1, keepdims=False
-                    ),
-                    jnp.zeros_like(fake),
-                )
+                # reference: buffer[t-1] if t > 0 else zeros — which is the
+                # window's newest slot in both cases (zero until generated)
+                last_gen = window[:, -1]
                 warped = resample2d(last_gen, flow_t)
                 fake = (1 - wmask) * warped + wmask * fake
-            buffer = jax.lax.dynamic_update_index_in_dim(
-                buffer, fake, t, axis=1
+            window = jnp.concatenate(
+                [window[:, 1:], fake[:, None].astype(window.dtype)], axis=1
             )
-            return (buffer, stats), fake
+            return (window, stats), fake
 
-        init = (jnp.zeros_like(image), g_stats)
-        (buffer, stats), fakes = jax.lax.scan(
-            body, init, (t_array, prev_maps_per_t, current_per_t, flows_per_t)
+        # eval serving carries the window at the compute precision; training
+        # keeps the input dtype so the loss math is unchanged
+        win_dtype = image.dtype if train else (
+            self.compute_dtype or image.dtype
+        )
+        init_window = jnp.zeros(
+            image.shape[:1] + (N - 1,) + image.shape[2:], win_dtype
+        )
+        (window, stats), fakes = jax.lax.scan(
+            body, (init_window, g_stats),
+            (prev_maps_per_t, current_per_t, flows_per_t),
         )
         fake_frame = fakes[-1]
+        # all-generated buffer for the temporal D / masking: frames before
+        # start_idx were never generated (zeros), then the scan outputs
+        gen_frames = jnp.moveaxis(fakes, 0, 1)  # (B, T, H, W, C)
+        if start_idx:
+            buffer = jnp.concatenate(
+                [jnp.zeros_like(gen_frames[:, :1]).repeat(start_idx, axis=1),
+                 gen_frames],
+                axis=1,
+            )
+        else:
+            buffer = gen_frames
         current_maps = {k: v[:, N - 1] for k, v in labelmap.items()}
         return fake_frame, current_maps, buffer, stats
 

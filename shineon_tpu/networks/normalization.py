@@ -46,17 +46,75 @@ class InstanceNorm(nn.Module):
         return y
 
 
+class _BatchNormCore(nn.Module):
+    """flax.linen.BatchNorm-compatible batch norm (same variable tree:
+    ``batch_stats`` {mean, var}, ``params`` {scale, bias}; same running-stat
+    update ``ra = m*ra + (1-m)*batch``, biased variance) with one deliberate
+    lowering difference: the normalize is AFFINE-FOLDED, ``y = x*a + b`` with
+    per-channel a = rsqrt(var+eps)[*scale], b = [bias] - mean*a, and the
+    output cast is the root of that expression. flax's BatchNorm subtracts
+    and multiplies full tensors in f32 and casts last, so any fan-out
+    materializes f32 activations — measured as full-resolution
+    f32[B,256,192,C] buffers inside the SAMS generator (docs/PROFILE_INFER.md
+    companion analysis); folding keeps the f32 math per-channel and in
+    registers, and anything XLA materializes is bf16."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    affine: bool = True
+    axis_name: Optional[str] = None
+    scale_init: Any = nn.initializers.ones
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        C = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (C,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (C,)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            if self.axis_name is not None:
+                mean, mean2 = jax.lax.pmean((mean, mean2), self.axis_name)
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+
+        a = jax.lax.rsqrt(var + self.epsilon)
+        b = -mean * a
+        if self.affine:
+            scale = self.param("scale", self.scale_init, (C,))
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            a = a * scale
+            b = b * scale + bias
+        out_dtype = self.dtype or x.dtype
+        # x (maybe bf16) * a (f32) promotes to f32 in-register; the cast is
+        # the expression root so materialized buffers are out_dtype
+        return (x * a + b).astype(out_dtype)
+
+
 class SyncBatchNorm(nn.Module):
     """Batch normalization whose statistics span the full (global) batch.
 
     The capability of the reference's SynchronizedBatchNorm2d
     (sync_batchnorm/batchnorm.py:51-396): replica-local moments are reduced
     across the data-parallel axis every forward pass. Here that is a single
-    ``axis_name`` on flax's BatchNorm (=> lax.pmean inside shard_map/pmap), and
-    automatic under pjit-sharded batches.
+    ``axis_name`` (=> lax.pmean inside shard_map/pmap), and automatic under
+    pjit-sharded batches.
 
     torch parity: eps 1e-5, running-stat momentum 0.1 (flax momentum 0.9),
-    affine=True.
+    affine=True. The variable tree matches flax's BatchNorm (child scope
+    ``BatchNorm_0``) so converted checkpoints keep loading.
     """
 
     use_running_average: Optional[bool] = None
@@ -74,20 +132,20 @@ class SyncBatchNorm(nn.Module):
             if self.init_gain is not None
             else nn.initializers.ones
         )
-        return nn.BatchNorm(
-            use_running_average=nn.merge_param(
-                "use_running_average",
-                self.use_running_average,
-                use_running_average,
-            ),
+        ura = nn.merge_param(
+            "use_running_average",
+            self.use_running_average,
+            use_running_average,
+        )
+        return _BatchNormCore(
             momentum=self.momentum,
             epsilon=self.epsilon,
-            use_bias=self.affine,
-            use_scale=self.affine,
+            affine=self.affine,
             scale_init=scale_init,
             axis_name=self.axis_name,
             dtype=self.dtype,
-        )(x)
+            name="BatchNorm_0",
+        )(x, ura)
 
 
 class SpectralConv(nn.Module):
