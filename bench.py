@@ -362,7 +362,17 @@ def main() -> None:
         import tempfile
 
         infer_profile_dir = tempfile.mkdtemp(prefix="shineon_trace_inf_")
-    result = measure_inference(infer_profile_dir)
+
+    def _retry(fn, *fargs):
+        # the axon tunnel occasionally surfaces a transient
+        # "INTERNAL: TPU backend error"; one retry rides it out
+        try:
+            return fn(*fargs)
+        except jax.errors.JaxRuntimeError as e:
+            print(f"transient backend error, retrying: {e}", file=sys.stderr)
+            return fn(*fargs)
+
+    result = _retry(measure_inference, infer_profile_dir)
     if args.profile:
         write_profile(
             infer_profile_dir,
@@ -385,7 +395,7 @@ def main() -> None:
             import tempfile
 
             profile_dir = tempfile.mkdtemp(prefix="shineon_trace_")
-        train = measure_train(profile_dir)
+        train = _retry(measure_train, profile_dir)
         if args.profile:
             write_profile(profile_dir, train["train_step_s"])
 
