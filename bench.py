@@ -176,7 +176,7 @@ def measure_inference(profile_dir: str | None = None) -> dict:
             # loop cannot be collapsed or reordered
             b["flow_raw"] = batch["flow_raw"] + (acc * 1e-12).astype(jnp.float32)
             frames = one_clip(warp_nets, sams_nets, b)
-            return jnp.mean(frames)
+            return jnp.mean(frames).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 

@@ -197,8 +197,12 @@ class SamsGenerator(nn.Module):
             )(x, current, **spade_kwargs)
         x = nn.Conv(out_channels, (3, 3), padding=pad1, dtype=self.dtype,
                     name="decode_conv_out")(x)
-        # composite/warp math downstream runs in f32
-        return x.astype(jnp.float32)
+        if train:
+            # training keeps the composite/warp/loss math in f32
+            return x.astype(jnp.float32)
+        # eval serving stays at the compute precision end-to-end (the frame
+        # window carry, flow-warp composite, and export all handle bf16)
+        return x
 
 
 def _choose_spade(attn_indices: Sequence[str], i: int, total_layers: int):

@@ -338,3 +338,33 @@ def test_sams_fast_gan_step_runs():
     _, metrics = model.make_train_step()(state, batch)
     for key in ("loss", "loss/D/multi", "loss/D/temporal"):
         assert np.isfinite(float(metrics[key])), key
+
+
+def test_sams_eval_serving_with_warmed_stats_is_finite():
+    """The serving configuration bench.py measures: eval-mode (running-stat)
+    normalization after warming the stats with train-mode rollouts. Guards
+    the stat-threading of generate_n_frames (train=True returns updated
+    stats; train=False consumes them) and the bf16 window carry."""
+    from shineon_tpu.models.sams_model import SamsModel
+
+    opt = _sams_opt_tiny(batch_size=2, precision=16)
+    model = SamsModel(opt)
+    state = model.init_state(jax.random.PRNGKey(11), steps_per_epoch=4)
+    batch = {
+        k: jnp.asarray(v) for k, v in _raw_image_batch(opt, 2, frames=3).items()
+    }
+    feats = model.features(batch)
+    g = state.nets["generator"]
+    params, stats = g.params, g.stats
+    for _ in range(2):
+        _, _, _, new_stats = model.generate_n_frames(
+            params, stats, feats, train=True
+        )
+        stats = new_stats or stats
+    fake, _, buffer, _ = model.generate_n_frames(
+        params, stats, feats, train=False
+    )
+    assert np.all(np.isfinite(np.asarray(fake, np.float32)))
+    assert np.all(np.isfinite(np.asarray(buffer, np.float32)))
+    # eval serving carries the window/compute at bf16; outputs follow
+    assert buffer.dtype == jnp.bfloat16
