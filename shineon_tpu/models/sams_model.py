@@ -251,6 +251,14 @@ class SamsModel(BaseModel):
         enc_maps = feats[opt.encoder_input]  # (B, N, H, W, enc_ch)
         image = feats["image"]
         flows = feats.get("flow") if opt.flow_warp else None
+        if not train and self.compute_dtype is not None:
+            # eval serving: the conditioning maps are conv inputs read at
+            # every SPADE of every frame — store them at compute precision.
+            # `flows` stays f32: it feeds resample2d as pixel displacements.
+            labelmap = {
+                k: v.astype(self.compute_dtype) for k, v in labelmap.items()
+            }
+            enc_maps = enc_maps.astype(self.compute_dtype)
 
         if N == 1:
             current_maps = {k: v[:, 0] for k, v in labelmap.items()}
