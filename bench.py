@@ -256,11 +256,29 @@ def measure_train(profile_dir: str | None = None) -> dict:
     assert np.isfinite(loss), f"train step produced loss={loss}"
     peak = _peak_flops()
     mfu = round(train_flops / dt / peak, 4) if train_flops and peak else None
+
+    # --fast_gan_step variant (reuses the G-step clip for both discriminator
+    # updates instead of regenerating it per optimizer pass; measured ~16%
+    # faster, documented semantic difference from the reference's
+    # per-pass regeneration)
+    _, f_state, f_step, f_batch, _ = build_train(
+        TRAIN_BATCH, fast_gan_step=True
+    )
+    f_state, f_metrics = f_step(f_state, f_batch)
+    jax.block_until_ready(f_state.step)
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        f_state, f_metrics = f_step(f_state, f_batch)
+    jax.block_until_ready(f_state.step)
+    f_dt = (time.perf_counter() - t0) / TRAIN_STEPS
+    assert np.isfinite(float(jax.device_get(f_metrics["loss"])))
+
     return {
         "train_fps": TRAIN_BATCH * n_frames / dt,
         "train_step_s": dt,
         "train_mfu": mfu,
         "train_step_flops": train_flops,
+        "train_fast_gan_fps": TRAIN_BATCH * n_frames / f_dt,
     }
 
 
@@ -413,6 +431,9 @@ def main() -> None:
             "train_frames_per_sec_per_chip": round(train["train_fps"], 2),
             "train_step_ms": round(train["train_step_s"] * 1e3, 1),
             "train_mfu": train["train_mfu"],
+            "train_fast_gan_frames_per_sec_per_chip": round(
+                train["train_fast_gan_fps"], 2
+            ),
         })
     print(json.dumps(line))
 
