@@ -423,6 +423,11 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_TORCH_EST_FPS, 3),
+        # schema note (round 3): since round 2, vs_baseline = fps / the
+        # measured-derived A100-PyTorch estimate (202.4 f/s,
+        # docs/BASELINE_DERIVATION.md). Round 1 divided by an unsourced
+        # number; cross-round comparisons must use this definition.
+        "baseline_def": f"a100_torch_est_{A100_TORCH_EST_FPS}",
         "vs_bar_5x": round(fps / TARGET_BAR_FPS, 3),
         "infer_mfu": result["infer_mfu"],
     }

@@ -11,6 +11,7 @@ is what the hermetic test environment exercises.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import os
 import os.path as osp
 import re
@@ -48,7 +49,15 @@ def _stream_to_file(response, filename: str) -> None:
     sys.stdout.write("\n")
 
 
-def download_viton(root: str) -> None:
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def download_viton(root: str, sha256: str | None = None) -> None:
     """Fetch + unpack the VITON resize tarball into ``root`` (train/ test/)."""
     try:
         import requests
@@ -69,8 +78,23 @@ def download_viton(root: str) -> None:
     print("[*] Downloading VITON resize tarball...")
     _stream_to_file(requests.get(url, stream=True, cookies=probe.cookies), tar_path)
 
+    if sha256 is not None:
+        actual = _sha256(tar_path)
+        if actual != sha256.lower():
+            os.remove(tar_path)
+            raise SystemExit(
+                f"tarball checksum mismatch: expected {sha256}, got {actual}"
+            )
+    else:
+        print(
+            f"[!] no --sha256 pin given; downloaded tarball hashes to "
+            f"{_sha256(tar_path)} — pass it next time to verify"
+        )
+
     print("[*] Extracting...")
-    tarfile.open(tar_path).extractall(path=root)
+    # filter="data" rejects absolute paths / ".." traversal / device nodes in
+    # a tampered tarball (tarfile extraction filter, Python >= 3.12 semantics)
+    tarfile.open(tar_path).extractall(path=root, filter="data")
     for split in ("test", "train"):
         src = osp.join(root, "viton_resize", split)
         dst = osp.join(root, split)
@@ -109,6 +133,10 @@ def main():
         help="fetch the VITON resize tarball into --root first "
              "(viton only; needs network egress)",
     )
+    parser.add_argument(
+        "--sha256", default=None,
+        help="pin the tarball's sha256; the download aborts on mismatch",
+    )
     args = parser.parse_args()
 
     if args.download:
@@ -117,7 +145,7 @@ def main():
                 "only the VITON tarball has a pinned public link; VVT and MPV "
                 "must be obtained from their original distributions"
             )
-        download_viton(args.root)
+        download_viton(args.root, sha256=args.sha256)
     sys.exit(verify(args.dataset, args.root))
 
 

@@ -38,6 +38,12 @@ __all__ = ["grid_sample", "resample2d"]
 # d_image adjoint: above this channel count the dense one-hot contraction
 # stops being obviously cheaper than a scatter; fall back to XLA's autodiff.
 _DENSE_ADJOINT_MAX_CHANNELS = 16
+# d_image adjoint also materializes one-hot (B, P, H) + (B, P, W) f32 weight
+# matrices; cap their combined element count (~1 GB f32) so large-resolution
+# or large-batch callers fall back to XLA autodiff instead of OOMing on the
+# hidden backward buffers. Production train shapes (256x192, batch<=8) stay
+# well under: 8 * 49152 * (256+192) = 176e6.
+_DENSE_ADJOINT_MAX_ELEMENTS = 256_000_000
 
 
 def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
@@ -257,8 +263,13 @@ def grid_sample(
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
-    C = image.shape[-1]
-    if C <= _DENSE_ADJOINT_MAX_CHANNELS:
+    B, H, W, C = image.shape
+    P = int(grid.shape[1]) * int(grid.shape[2])
+    adjoint_elems = B * P * (H + W)
+    if (
+        C <= _DENSE_ADJOINT_MAX_CHANNELS
+        and adjoint_elems <= _DENSE_ADJOINT_MAX_ELEMENTS
+    ):
         return _grid_sample_cv(image, grid, padding_mode, align_corners)
     return _grid_sample_impl(image, grid, padding_mode, align_corners)
 

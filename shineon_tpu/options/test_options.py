@@ -32,4 +32,13 @@ class TestOptions(BaseOptions):
             help="Randomly choose cloth-person pairs for try-on.",
             action="store_true",
         )
+        parser.add_argument(
+            "--allow_random_init",
+            action="store_true",
+            help="explicitly allow test.py to run WITHOUT --checkpoint "
+            "(exports noise frames from a random init; useful only for "
+            "pipeline smoke tests). Without this flag, test.py refuses to "
+            "evaluate an un-restored model (reference train.py:39-45 "
+            "requires a checkpoint to test).",
+        )
         return parser

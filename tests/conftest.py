@@ -21,6 +21,13 @@ import jax  # noqa: E402
 # 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the heavy 8-virtual-device compile tests
+# (test_train_e2e, test_sams_conversion, test_flownet_golden) dominate suite
+# wall-clock; caching their executables makes re-runs start in seconds.
+from shineon_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

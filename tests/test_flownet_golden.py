@@ -24,6 +24,9 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
+# compile-dominated mesh/oracle tests: run with `pytest -m heavy`
+pytestmark = pytest.mark.heavy
+
 # ------------------------------------------------------- torch oracle pieces
 
 

@@ -96,3 +96,19 @@ def test_val_check_clamped_to_datacap():
 def test_fast_dev_run_forces_val_every_step():
     opt = namespace_from_defaults("warp", "viton", fast_dev_run=True)
     assert opt.val_check_interval == 1
+
+
+def test_test_without_checkpoint_refuses():
+    """test.py with no --checkpoint must fail loudly (reference train.py:39-45
+    refuses to test an un-restored model) unless --allow_random_init."""
+    import train as train_mod
+
+    argv = [
+        "--name", "guard_test", "--model", "warp", "--dataset", "viton",
+        "--viton_dataroot", "/nonexistent",
+    ]
+    with pytest.raises(SystemExit, match="checkpoint"):
+        train_mod.main(train=False, argv=argv)
+    # the explicit opt-out flag exists and defaults off
+    opt = namespace_from_defaults("warp", "viton", is_train=False)
+    assert opt.allow_random_init is False

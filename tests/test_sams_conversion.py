@@ -3,6 +3,7 @@ spectral norm + SPADE/MultiSpade/AttentiveMultiSpade) -> converted flax
 generator must match the forward output."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -11,6 +12,9 @@ import jax
 import jax.numpy as jnp
 
 from tools.convert_lightning_checkpoint import convert_sams_generator_state_dict
+
+# compile-dominated mesh/oracle tests: run with `pytest -m heavy`
+pytestmark = pytest.mark.heavy
 
 SN = tnn.utils.spectral_norm
 

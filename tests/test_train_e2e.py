@@ -11,6 +11,9 @@ import pytest
 
 from shineon_tpu.parallel.mesh import data_sharding, make_mesh, replicated_sharding
 
+# compile-dominated mesh/oracle tests: run with `pytest -m heavy`
+pytestmark = pytest.mark.heavy
+
 
 def _base_opt(**kw):
     base = dict(

@@ -28,6 +28,20 @@ def main(train: bool = True, argv=None):
     opt = options_obj.parse(argv)
     logger.setLevel(getattr(logging, opt.loglevel.upper()))
 
+    if (
+        not train
+        and not opt.checkpoint
+        and not getattr(opt, "allow_random_init", False)
+    ):
+        # The reference refuses to test without a checkpoint
+        # (train.py:39-45); silently exporting noise frames from a random
+        # init is a silent failure mode. --allow_random_init opts into it
+        # explicitly (pipeline smoke tests).
+        raise SystemExit(
+            "test.py needs --checkpoint (no model to evaluate); pass "
+            "--allow_random_init to export from a random initialization anyway"
+        )
+
     model_class = find_model_using_name(opt.model)
     model = model_class(opt)
     resume_state = None
@@ -52,6 +66,9 @@ def main(train: bool = True, argv=None):
         model.setup("test")
         state = resume_state
         if state is None:
+            logger.warning(
+                "testing a RANDOMLY INITIALIZED model (--allow_random_init)"
+            )
             state = model.init_state(__import__("jax").random.PRNGKey(420), 1)
         trainer.test(model, state)
 
