@@ -30,12 +30,28 @@ class InstanceNorm(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_affine: bool = False):
         # x: (..., H, W, C); normalize over H, W per sample/channel.
         # statistics in f32 for stability regardless of the compute dtype
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
         var = jnp.var(xf, axis=(-3, -2), keepdims=True)
+        if return_affine:
+            # folded per-(sample, channel) coefficients: norm(x) = x*a + b
+            if self.affine:
+                raise NotImplementedError(
+                    "return_affine with affine=True is unused"
+                )
+            a = jax.lax.rsqrt(var + self.epsilon)
+            lead = x.shape[:-3]
+            return (
+                jnp.broadcast_to(a, lead + (1, 1, x.shape[-1])).reshape(
+                    lead + (x.shape[-1],)
+                ),
+                jnp.broadcast_to(-mean * a, lead + (1, 1, x.shape[-1])).reshape(
+                    lead + (x.shape[-1],)
+                ),
+            )
         y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(
             self.dtype or x.dtype
         )
@@ -67,7 +83,8 @@ class _BatchNormCore(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
+    def __call__(self, x, use_running_average: bool,
+                 return_affine: bool = False):
         C = x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (C,)
@@ -97,6 +114,9 @@ class _BatchNormCore(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (C,))
             a = a * scale
             b = b * scale + bias
+        if return_affine:
+            # folded per-channel coefficients: norm(x) = x*a + b
+            return a, b
         out_dtype = self.dtype or x.dtype
         # x (maybe bf16) * a (f32) promotes to f32 in-register; the cast is
         # the expression root so materialized buffers are out_dtype
@@ -126,7 +146,8 @@ class SyncBatchNorm(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, use_running_average: Optional[bool] = None):
+    def __call__(self, x, use_running_average: Optional[bool] = None,
+                 return_affine: bool = False):
         scale_init = (
             batchnorm_scale_init(self.init_gain)
             if self.init_gain is not None
@@ -145,7 +166,7 @@ class SyncBatchNorm(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="BatchNorm_0",
-        )(x, ura)
+        )(x, ura, return_affine=return_affine)
 
 
 class SpectralConv(nn.Module):

@@ -10,7 +10,11 @@ import jax.numpy as jnp
 
 from shineon_tpu.networks.attention import SelfAttention
 from shineon_tpu.networks.sams.multispade import as_labelmap_dict
-from shineon_tpu.networks.sams.spade import SPADE, parse_spade_config
+from shineon_tpu.networks.sams.spade import (
+    SPADE,
+    fused_spade_enabled,
+    parse_spade_config,
+)
 
 
 class AttentiveMultiSpade(nn.Module):
@@ -22,13 +26,15 @@ class AttentiveMultiSpade(nn.Module):
     def __call__(self, x, seg, train: bool = True):
         labelmaps = as_labelmap_dict(seg)
         _, ks = parse_spade_config(self.config_text)
+        # parallel (not sequential) modulations -> one fused launch per label
+        mode = "apply_fused" if fused_spade_enabled(train) else "apply"
         outputs = [
             SPADE(
                 config_text=self.config_text,
                 activation=self.activation,
                 dtype=self.dtype,
                 name=f"spade_{key}",
-            )(x, labelmaps[key], train=train)
+            )(x, labelmaps[key], train=train, mode=mode)
             for key in sorted(labelmaps.keys())
         ]
         together = jnp.concatenate(outputs, axis=-1)

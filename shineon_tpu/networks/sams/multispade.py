@@ -8,7 +8,12 @@ from typing import Any, Dict, Mapping, Optional, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
-from shineon_tpu.networks.sams.spade import SPADE
+from shineon_tpu.networks.sams.spade import (
+    SPADE,
+    fused_spade_enabled,
+    parse_spade_config,
+)
+from shineon_tpu.ops.fused_spade import fused_multispade_modulate
 
 DEFAULT_KEY = "default_key"
 
@@ -21,7 +26,13 @@ def as_labelmap_dict(seg: Union[jnp.ndarray, Mapping[str, jnp.ndarray]]):
 
 class MultiSpade(nn.Module):
     """Applies one SPADE per labelmap sequentially, keys sorted alphabetically
-    (multispade.py:59-66)."""
+    (multispade.py:59-66).
+
+    At serving the whole L-label chain (norm -> segmap MLP -> gamma/beta ->
+    modulate, per label) collapses into ONE fused Pallas kernel launch
+    (shineon_tpu.ops.fused_spade); each child SPADE contributes its params
+    via mode="args" so the variable tree is identical either way.
+    """
 
     config_text: str = "spadeinstance3x3"
     activation: str = "relu"
@@ -30,11 +41,36 @@ class MultiSpade(nn.Module):
     @nn.compact
     def __call__(self, x, seg, train: bool = True):
         labelmaps = as_labelmap_dict(seg)
-        for key in sorted(labelmaps.keys()):
-            x = SPADE(
+        keys = sorted(labelmaps.keys())
+        norm_type, ks = parse_spade_config(self.config_text)
+        spades = [
+            SPADE(
                 config_text=self.config_text,
                 activation=self.activation,
                 dtype=self.dtype,
                 name=f"spade_{key}",
-            )(x, labelmaps[key], train=train)
+            )
+            for key in keys
+        ]
+        if fused_spade_enabled(train) and ks == 3:
+            # Label k's norm statistics are taken from the INTERMEDIATE
+            # chain value. Only running-average stats (batch/syncbatch at
+            # eval) are intermediate-independent, allowing one kernel for
+            # the whole chain; instance norm (per-sample stats) chains
+            # per-label fused launches instead.
+            if norm_type != "instance" and not train:
+                per_label = [
+                    spade(x, labelmaps[key], train=train, mode="args")
+                    for spade, key in zip(spades, keys)
+                ]
+                abs_, segs, wshs, bshs, wgbs, bgbs = zip(*per_label)
+                return fused_multispade_modulate(
+                    x, jnp.stack(abs_, axis=1), segs, wshs, bshs, wgbs, bgbs,
+                    act_name=self.activation,
+                )
+            for spade, key in zip(spades, keys):
+                x = spade(x, labelmaps[key], train=train, mode="apply_fused")
+            return x
+        for spade, key in zip(spades, keys):
+            x = spade(x, labelmaps[key], train=train)
         return x

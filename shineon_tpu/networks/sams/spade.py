@@ -8,6 +8,7 @@ over the (globally sharded) batch — see shineon_tpu.networks.normalization.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Optional
 
@@ -20,6 +21,19 @@ from shineon_tpu.networks.activation import (
     get_resblock_activation_fn,
 )
 from shineon_tpu.networks.normalization import InstanceNorm, SyncBatchNorm
+from shineon_tpu.ops.fused_spade import fused_multispade_modulate
+
+
+def fused_spade_enabled(train: bool) -> bool:
+    """Whether SPADE modulation should run through the fused Pallas kernel.
+
+    Default OFF: in-graph XLA pipelines the SPADE conv streams at ~67% MFU
+    (docs/SPADE_KERNEL_BENCH.md), which the measured kernel does not beat at
+    the dominant full-resolution sites. ``SHINEON_FUSED_SPADE=1`` opts in
+    (kernel correctness is production-tested; on non-TPU backends the fused
+    op falls back to the XLA reference formulation).
+    """
+    return os.environ.get("SHINEON_FUSED_SPADE") == "1" and not train
 
 
 def parse_spade_config(config_text: str) -> tuple[str, int]:
@@ -47,9 +61,93 @@ def _resize_nearest(segmap: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.take(out, cols, axis=-2)
 
 
+class ConvParams(nn.Module):
+    """Parameter holder with flax ``nn.Conv``'s exact variable tree
+    ({kernel: (ks, ks, cin, cout), bias: (cout,)}, lecun-normal/zeros init)
+    so SPADE can share one param set between the unfused conv path and the
+    fused Pallas kernel without breaking converted checkpoints."""
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    def setup(self):
+        ks = self.kernel_size
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (ks, ks, self.in_features, self.features), jnp.float32,
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
+def _conv_same(v, kernel, bias, compute_dtype):
+    """nn.Conv(dtype=cd) semantics: cast inputs, SAME zero pad, NHWC."""
+    ks = kernel.shape[0]
+    p = ks // 2
+    out = jax.lax.conv_general_dilated(
+        v.astype(compute_dtype),
+        kernel.astype(compute_dtype),
+        window_strides=(1, 1),
+        padding=((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias.astype(compute_dtype)
+
+
+def int8_spade_enabled(train: bool) -> bool:
+    """Quantized (weight + dynamic-activation int8) gamma/beta convs at
+    serving. The SPADE modulation convs are ~85% of the generator FLOPs
+    (docs/PERF_NOTES.md round-3 correction) and the v5e MXU's int8 path runs
+    them 1.3-1.6x faster than bf16 (tools/probe_int8_conv.py). Opt-in:
+    ``SHINEON_INT8_SPADE=1``; eval only."""
+    return os.environ.get("SHINEON_INT8_SPADE") == "1" and not train
+
+
+def _conv_same_int8(v, kernel, bias, compute_dtype):
+    """3x3 SAME conv with symmetric int8 quantization: per-tensor dynamic
+    activation scale, per-output-channel weight scale, int32 accumulation
+    on the MXU's 2x-rate int8 path, dequantized + bias at f32.
+
+    Off TPU the quantized operands run through an exact f32 emulation
+    (|acc| < 2^24, exactly representable), so tests pin the numerics
+    platform-independently."""
+    p = kernel.shape[0] // 2
+    vf = v.astype(jnp.float32)
+    s = jnp.max(jnp.abs(vf)) / 127.0 + 1e-30
+    vq = jnp.clip(jnp.round(vf / s), -127, 127)
+    kf = kernel.astype(jnp.float32)
+    ksc = jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0 + 1e-30
+    kq = jnp.clip(jnp.round(kf / ksc), -127, 127)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        vq, kq, pt = vq.astype(jnp.int8), kq.astype(jnp.int8), jnp.int32
+    else:
+        pt = jnp.float32
+    acc = jax.lax.conv_general_dilated(
+        vq, kq, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pt,
+    )
+    out = acc.astype(jnp.float32) * (s * ksc) + bias.astype(jnp.float32)
+    return out.astype(compute_dtype)
+
+
 class SPADE(nn.Module):
     """Param-free norm + segmap-conditioned (1+gamma, beta) modulation
-    (spade.py:61-103). ``norm_nc`` inferred from the input."""
+    (spade.py:61-103). ``norm_nc`` inferred from the input.
+
+    ``mode``:
+      * "apply": the reference formulation, conv by conv.
+      * "apply_fused": one fused Pallas modulation (single label).
+      * "args": create the same params but return the packed per-label
+        arguments ``(ab, seg, wsh, bsh, wgb, bgb)`` for a parent MultiSpade
+        to batch all labels into ONE fused kernel launch.
+    """
 
     config_text: str = "spadeinstance3x3"
     activation: str = "relu"
@@ -57,27 +155,60 @@ class SPADE(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray, train: bool = True):
+    def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray, train: bool = True,
+                 mode: str = "apply"):
         norm_type, ks = parse_spade_config(self.config_text)
         if norm_type == "instance":
-            normalized = InstanceNorm(affine=False, dtype=self.dtype)(x)
+            norm = InstanceNorm(affine=False, dtype=self.dtype)
+            norm_args = ()
         else:
             # batch/syncbatch: both are global-batch statistics under pjit.
-            normalized = SyncBatchNorm(
+            norm = SyncBatchNorm(
                 use_running_average=not train, affine=False, dtype=self.dtype
-            )(x)
+            )
+            norm_args = ()
 
         segmap = _resize_nearest(segmap, x.shape[-3], x.shape[-2]).astype(x.dtype)
-        pad = ((ks // 2, ks // 2), (ks // 2, ks // 2))
+        C = x.shape[-1]
         actvn = get_activation_fn(self.activation)
-        h = nn.Conv(self.nhidden, (ks, ks), padding=pad, dtype=self.dtype,
-                    name="mlp_shared")(segmap)
-        h = actvn(h)
-        gamma = nn.Conv(x.shape[-1], (ks, ks), padding=pad, dtype=self.dtype,
-                        name="mlp_gamma")(h)
-        beta = nn.Conv(x.shape[-1], (ks, ks), padding=pad, dtype=self.dtype,
-                       name="mlp_beta")(h)
-        return normalized * (1.0 + gamma) + beta
+        wsh, bsh = ConvParams(self.nhidden, segmap.shape[-1], ks,
+                              name="mlp_shared")()
+        wg, bg = ConvParams(C, self.nhidden, ks, name="mlp_gamma")()
+        wb, bb = ConvParams(C, self.nhidden, ks, name="mlp_beta")()
+
+        if mode == "apply" or ks != 3:
+            normalized = norm(x, *norm_args)
+            # nn.Conv dtype semantics: None promotes input with the f32 params
+            cd = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+            h = actvn(_conv_same(segmap, wsh, bsh, cd))
+            if int8_spade_enabled(train) and ks == 3:
+                # one merged [gamma | beta] conv: the hidden map quantizes
+                # once and the MXU runs a single wider int8 matmul
+                gb = _conv_same_int8(
+                    h, jnp.concatenate([wg, wb], axis=-1),
+                    jnp.concatenate([bg, bb]), cd,
+                )
+                gamma, beta = gb[..., :C], gb[..., C:]
+            else:
+                gamma = _conv_same(h, wg, bg, cd)
+                beta = _conv_same(h, wb, bb, cd)
+            return normalized * (1.0 + gamma) + beta
+
+        # fused paths: fold the norm into per-(label, channel) affine coeffs
+        a, b = norm(x, *norm_args, return_affine=True)
+        ab = jnp.concatenate(
+            [jnp.broadcast_to(a, (x.shape[0], C)),
+             jnp.broadcast_to(b, (x.shape[0], C))], axis=-1,
+        ).astype(jnp.float32)  # (B, 2C)
+        wgb = jnp.concatenate([wg, wb], axis=-1)  # (3,3,nhid,2C)
+        bgb = jnp.concatenate([bg, bb], axis=-1)  # (2C,)
+        if mode == "args":
+            return ab, segmap, wsh, bsh, wgb, bgb
+        assert mode == "apply_fused", mode
+        return fused_multispade_modulate(
+            x, ab[:, None, :], [segmap], [wsh], [bsh], [wgb], [bgb],
+            act_name=self.activation,
+        )
 
 
 class AnySpadeResBlock(nn.Module):
@@ -117,14 +248,24 @@ class AnySpadeResBlock(nn.Module):
                 dtype=self.dtype, name=name,
             )
 
+        use_fused = fused_spade_enabled(train)
+
+        def apply_spade(name, h):
+            m = spade(name)
+            if use_fused and isinstance(m, SPADE):
+                # plain (single-label) SPADE also runs the fused kernel;
+                # MultiSpade handles its own multi-label fusion internally
+                return m(h, seg, train=train, mode="apply_fused")
+            return m(h, seg, train=train)
+
         if learned_shortcut:
-            x_s = spade("norm_s")(x, seg, train=train)
+            x_s = apply_spade("norm_s", x)
             x_s = conv(x_s, self.fout, 1, False, "conv_s")
         else:
             x_s = x
 
-        dx = spade("spade_0")(x, seg, train=train)
+        dx = apply_spade("spade_0", x)
         dx = conv(actvn(dx), fmiddle, 3, True, "conv_0")
-        dx = spade("spade_1")(dx, seg, train=train)
+        dx = apply_spade("spade_1", dx)
         dx = conv(actvn(dx), self.fout, 3, True, "conv_1")
         return x_s + dx

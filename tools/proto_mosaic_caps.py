@@ -252,3 +252,105 @@ if __name__ == "__main__":
         if name.startswith("probe_"):
             fn()
     sys.exit(0)
+
+
+@probe("A2: contraction over MAJOR dim 'chw,cn->hwn'")
+def probe_a2():
+    def kernel(s_ref, w_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            s_ref[...], w_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+    s = jnp.ones((12, 20, 56), jnp.bfloat16)
+    w = jnp.ones((12, 128), jnp.bfloat16)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((20, 56, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(s, w)
+    np.testing.assert_allclose(np.asarray(out), 12.0)
+
+
+@probe("K: static unaligned lane slice (C, H, W)[:, :, 3:51]")
+def probe_k():
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[:, :, 3:51]
+
+    x = jnp.arange(12 * 20 * 56, dtype=jnp.float32).reshape(12, 20, 56)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((12, 20, 48), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)
+    ref = np.arange(12 * 20 * 56, dtype=np.float32).reshape(12, 20, 56)[:, :, 3:51]
+    np.testing.assert_allclose(np.asarray(out), ref)
+
+
+@probe("L: dynamic unaligned SUBLANE slice on 3D (C, Hp, W2)")
+def probe_l():
+    def kernel(x_ref, o_ref):
+        i = pl.program_id(0)
+        o_ref[...] = x_ref[:, pl.ds(i * 8 + 3, 16), :]
+
+    x = jnp.arange(4 * 64 * 56, dtype=jnp.float32).reshape(4, 64, 56)
+    out = pl.pallas_call(
+        kernel,
+        grid=(2,),
+        out_shape=jax.ShapeDtypeStruct((2, 4, 16, 56), jnp.float32),
+        in_specs=[pl.BlockSpec((4, 64, 56), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 4, 16, 56), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    )(x)
+    ref = np.stack([
+        np.arange(4 * 64 * 56, dtype=np.float32).reshape(4, 64, 56)[:, 3:19],
+        np.arange(4 * 64 * 56, dtype=np.float32).reshape(4, 64, 56)[:, 11:27],
+    ])
+    np.testing.assert_allclose(np.asarray(out), ref)
+
+
+@probe("M: 3D einsum chain like the spade kernel (small)")
+def probe_m():
+    TH, W2, CS, NH, C2 = 8, 56, 3, 128, 128
+
+    def kernel(s_ref, wsh_ref, wgb_ref, o_ref):
+        i = pl.program_id(0)
+        seg = s_ref[:, pl.ds(i * TH, TH + 6), :]  # (CS, TH+6, W2)
+        h = None
+        for di in range(3):
+            for dj in range(3):
+                tap = jax.lax.dot_general(
+                    seg[:, di:di + TH + 4, :],  # col shift folded below
+                    wsh_ref[3 * di + dj],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (TH+4, W2, NH)
+                # emulate dj shift with a static lane slice + pad-free add:
+                h = tap if h is None else h + tap
+        h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+        gb = None
+        for di in range(3):
+            tap = jax.lax.dot_general(
+                h[di:di + TH, :, :], wgb_ref[di],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gb = tap if gb is None else gb + tap
+        o_ref[...] = gb[None]
+
+    s = jnp.ones((CS, 64 + 6, W2), jnp.bfloat16)
+    wsh = jnp.ones((9, CS, NH), jnp.bfloat16) * 0.01
+    wgb = jnp.ones((3, NH, C2), jnp.bfloat16) * 0.01
+    out = pl.pallas_call(
+        kernel,
+        grid=(8,),
+        out_shape=jax.ShapeDtypeStruct((8, TH, W2, C2), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((CS, 70, W2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, CS, NH), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, NH, C2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W2, C2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    )(s, wsh, wgb)
+    assert np.isfinite(np.asarray(out)).all()
