@@ -51,7 +51,12 @@ def test_sams_train_improves_exported_metrics(tmp_path):
             "ndf": 8, "n_layers_D": 3, "wt_vgg": 0.0,
             "wt_multiscale": 0.3, "wt_temporal": 0.3,
         },
+        # the int8 serving mode must preserve the trained export's quality
+        extra_export_envs={"int8": {"SHINEON_INT8_SPADE": "1"}},
     )
     assert r["frames_scored"] == 12
     assert r["ssim_trained"] > r["ssim_init"] + 0.1, r
     assert r["psnr_trained"] > r["psnr_init"] + 1.0, r
+    # quantized serving within quantization tolerance of the fp export
+    assert abs(r["ssim_int8"] - r["ssim_trained"]) < 0.02, r
+    assert abs(r["psnr_int8"] - r["psnr_trained"]) < 1.0, r

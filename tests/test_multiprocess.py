@@ -1,0 +1,102 @@
+"""Multi-process (2-host-equivalent) data-parallel correctness.
+
+The reference's DDP is multi-process by construction (DistributedSampler
+sharding, models/base_model.py:111-137). Here the equivalent path is:
+
+  * `DataLoader(process_index, process_count)` striding — each process
+    loads a disjoint shard of the index space;
+  * `parallel.mesh.shard_batch` assembling the GLOBAL batch from each
+    process's local shard via `jax.make_array_from_process_local_data`;
+  * a jitted reduction over the global array (GSPMD inserts the
+    cross-process collective).
+
+Two real local processes, coordinated over jax.distributed, each with two
+virtual CPU devices (global mesh = 4 devices over 2 processes).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, r"%(repo)s")
+from shineon_tpu.parallel.mesh import make_mesh, shard_batch
+from shineon_tpu.datasets.loader import DataLoader
+
+# ---- loader striding: disjoint per-process shards, DistributedSampler-style
+ds = [{"v": np.float32(i)} for i in range(8)]
+loader = DataLoader(ds, batch_size=2, shuffle=False, workers=0)
+assert loader.process_index == pid and loader.process_count == 2
+local_vals = np.concatenate([b["v"] for b in loader])
+expect = np.arange(8, dtype=np.float32)[pid::2]
+np.testing.assert_array_equal(np.sort(local_vals), np.sort(expect))
+
+# ---- global batch assembly + jitted global reduction
+mesh = make_mesh()
+local = {"x": local_vals.reshape(-1, 1) * (1.0 + pid)}  # distinct per process
+gbatch = shard_batch(local, mesh)
+assert gbatch["x"].shape == (8, 1), gbatch["x"].shape
+
+mean = jax.jit(lambda x: jnp.mean(x))(gbatch["x"])
+got = float(mean)
+# process 0 holds [0,2,4,6]*1, process 1 holds [1,3,5,7]*2
+want = ((np.arange(8)[0::2] * 1.0).sum()
+        + (np.arange(8)[1::2] * 2.0).sum()) / 8.0
+assert abs(got - want) < 1e-6, (got, want)
+print(f"WORKER{pid} OK mean={got}")
+""" % {"repo": REPO}
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_data_parallel(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} failed:\n{out}\n{err[-4000:]}"
+        assert f"WORKER{pid} OK" in out, (out, err[-2000:])

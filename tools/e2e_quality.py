@@ -112,8 +112,13 @@ def run_e2e(
     lr: float = 2e-4,
     workdir: str | None = None,
     arch_overrides: dict | None = None,
+    extra_export_envs: dict | None = None,
 ) -> dict:
-    """Returns {'ssim_init','ssim_trained','psnr_init','psnr_trained',...}."""
+    """Returns {'ssim_init','ssim_trained','psnr_init','psnr_trained',...}.
+
+    ``extra_export_envs``: {variant_name: {ENV: value}} — after the trained
+    export, re-export the SAME trained state under each env (e.g. the int8
+    serving mode) and report ``ssim_<variant>``/``psnr_<variant>``."""
     from fixtures import make_vvt_fixture
 
     from shineon_tpu.models.sams_model import SamsModel
@@ -191,25 +196,54 @@ def run_e2e(
         model_cls, opt_kw, state, osp.join(workdir, "results_trained")
     )
 
-    # ---- score both exports with the offline metrics CLI
+    # ---- optional serving-mode variants of the trained export
+    variant_dirs = {}
+    for vname, env in (extra_export_envs or {}).items():
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            variant_dirs[vname] = _export(
+                model_cls, opt_kw, state,
+                osp.join(workdir, f"results_{vname}"),
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    # ---- score the exports with the offline metrics CLI
     gt = osp.join(workdir, "gt_cropped")
     _crop_gt(osp.join(data_root, "test", "test_frames"), gt,
              fine_width, fine_height)
-    out = subprocess.run(
-        [sys.executable, osp.join(REPO, "calculate_metrics.py"),
-         "-t", gt, "-g1", init_dir, "-g2", trained_dir,
-         "--experiment_one", "init", "--experiment_two", "trained",
-         "--result", osp.join(workdir, "metrics_out"), "--no_video"],
-        capture_output=True, text=True, timeout=1200, cwd=REPO,
-    )
-    assert out.returncode == 0, out.stderr[-4000:]
-    m = re.search(
-        r"frames=(\d+) ssim_1=([\d.]+) ssim_2=([\d.]+) "
-        r"psnr_1=([\d.-]+) psnr_2=([\d.-]+)",
-        out.stdout,
-    )
-    assert m, f"metrics summary not found in: {out.stdout!r}"
-    return {
+
+    def _score(dir1, name1, dir2, name2, outdir):
+        out = subprocess.run(
+            [sys.executable, osp.join(REPO, "calculate_metrics.py"),
+             "-t", gt, "-g1", dir1, "-g2", dir2,
+             "--experiment_one", name1, "--experiment_two", name2,
+             "--result", outdir, "--no_video"],
+            capture_output=True, text=True, timeout=1200, cwd=REPO,
+        )
+        assert out.returncode == 0, out.stderr[-4000:]
+        m = re.search(
+            r"frames=(\d+) ssim_1=([\d.]+) ssim_2=([\d.]+) "
+            r"psnr_1=([\d.-]+) psnr_2=([\d.-]+)",
+            out.stdout,
+        )
+        assert m, f"metrics summary not found in: {out.stdout!r}"
+        return m
+
+    m = _score(init_dir, "init", trained_dir, "trained",
+               osp.join(workdir, "metrics_out"))
+    extra = {}
+    for vname, vdir in variant_dirs.items():
+        mv = _score(trained_dir, "trained", vdir, vname,
+                    osp.join(workdir, f"metrics_{vname}"))
+        extra[f"ssim_{vname}"] = float(mv.group(3))
+        extra[f"psnr_{vname}"] = float(mv.group(5))
+    return extra | {
         "model": model_name,
         "frames_scored": int(m.group(1)),
         "train_steps": steps,
