@@ -8,8 +8,11 @@ from typing import Any, Dict, Mapping, Optional, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
+from shineon_tpu.networks.activation import get_activation_fn
 from shineon_tpu.networks.sams.spade import (
     SPADE,
+    _conv_same,
+    _resize_nearest,
     fused_spade_enabled,
     parse_spade_config,
 )
@@ -71,6 +74,45 @@ class MultiSpade(nn.Module):
             for spade, key in zip(spades, keys):
                 x = spade(x, labelmaps[key], train=train, mode="apply_fused")
             return x
-        for spade, key in zip(spades, keys):
-            x = spade(x, labelmaps[key], train=train)
+
+        # Block-diagonal mlp_shared packing: the hidden maps depend only on
+        # the segmaps (not the chain value), so all L labels' tiny-Cin
+        # (2-4 channel) convs run as ONE conv stream with block-diagonal
+        # weights assembled from the per-label params — parameters and
+        # numerics unchanged (zero blocks contribute exact zeros).
+        hiddens = [None] * len(keys)
+        if ks == 3 and len(keys) > 1:
+            shared = [
+                spade(x, labelmaps[key], train=train, mode="shared_params")
+                for spade, key in zip(spades, keys)
+            ]
+            segs = [
+                _resize_nearest(
+                    labelmaps[key], x.shape[-3], x.shape[-2]
+                ).astype(x.dtype)
+                for key in keys
+            ]
+            cs = [s.shape[-1] for s in segs]
+            total = sum(cs)
+            blocks, off = [], 0
+            for (w, _), c in zip(shared, cs):
+                blocks.append(
+                    jnp.pad(w, ((0, 0), (0, 0), (off, total - off - c),
+                                (0, 0)))
+                )
+                off += c
+            wsh_bd = jnp.concatenate(blocks, axis=-1)
+            bsh_cat = jnp.concatenate([b for _, b in shared])
+            cd = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+            actvn = get_activation_fn(self.activation)
+            h_all = actvn(
+                _conv_same(jnp.concatenate(segs, axis=-1), wsh_bd, bsh_cat,
+                           cd)
+            )
+            nh = shared[0][0].shape[-1]
+            hiddens = [
+                h_all[..., i * nh:(i + 1) * nh] for i in range(len(keys))
+            ]
+        for spade, key, h in zip(spades, keys, hiddens):
+            x = spade(x, labelmaps[key], train=train, hidden=h)
         return x

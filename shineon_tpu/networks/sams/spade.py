@@ -156,7 +156,7 @@ class SPADE(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray, train: bool = True,
-                 mode: str = "apply"):
+                 mode: str = "apply", hidden: Optional[jnp.ndarray] = None):
         norm_type, ks = parse_spade_config(self.config_text)
         if norm_type == "instance":
             norm = InstanceNorm(affine=False, dtype=self.dtype)
@@ -173,6 +173,10 @@ class SPADE(nn.Module):
         actvn = get_activation_fn(self.activation)
         wsh, bsh = ConvParams(self.nhidden, segmap.shape[-1], ks,
                               name="mlp_shared")()
+        if mode == "shared_params":
+            # a parent MultiSpade batches all labels' mlp_shared convs into
+            # one block-diagonal conv and passes the result back as `hidden`
+            return wsh, bsh
         wg, bg = ConvParams(C, self.nhidden, ks, name="mlp_gamma")()
         wb, bb = ConvParams(C, self.nhidden, ks, name="mlp_beta")()
 
@@ -180,7 +184,9 @@ class SPADE(nn.Module):
             normalized = norm(x, *norm_args)
             # nn.Conv dtype semantics: None promotes input with the f32 params
             cd = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
-            h = actvn(_conv_same(segmap, wsh, bsh, cd))
+            h = hidden if hidden is not None else actvn(
+                _conv_same(segmap, wsh, bsh, cd)
+            )
             if int8_spade_enabled(train) and ks == 3:
                 # one merged [gamma | beta] conv: the hidden map quantizes
                 # once and the MXU runs a single wider int8 matmul
