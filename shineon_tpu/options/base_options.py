@@ -19,6 +19,7 @@ TPU mapping of the hardware flags:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from shineon_tpu.utils.log import get_logger
@@ -173,6 +174,11 @@ class BaseOptions:
         from shineon_tpu.models.sams_model import SamsModel
 
         SamsModel.apply_default_encoder_input(opt)
+
+        if getattr(opt, "int8_spade", False):
+            # the quantized-serving switch is read at trace time by
+            # shineon_tpu.networks.sams.spade.int8_spade_enabled
+            os.environ["SHINEON_INT8_SPADE"] = "1"
 
         self.print_options(opt)
         self.opt = opt

@@ -41,4 +41,12 @@ class TestOptions(BaseOptions):
             "evaluate an un-restored model (reference train.py:39-45 "
             "requires a checkpoint to test).",
         )
+        parser.add_argument(
+            "--int8_spade",
+            action="store_true",
+            help="serve the SPADE gamma/beta convs quantized (weight + "
+            "dynamic-activation int8 on the MXU's 2x int8 path; 138->165 "
+            "f/s measured, quality-neutral on the QA loop — PARITY_E2E.md). "
+            "Equivalent to SHINEON_INT8_SPADE=1.",
+        )
         return parser

@@ -112,3 +112,18 @@ def test_test_without_checkpoint_refuses():
     # the explicit opt-out flag exists and defaults off
     opt = namespace_from_defaults("warp", "viton", is_train=False)
     assert opt.allow_random_init is False
+
+
+def test_int8_spade_flag_sets_env(monkeypatch):
+    """--int8_spade (TestOptions) wires the quantized-serving env switch."""
+    from shineon_tpu.options.test_options import TestOptions
+
+    monkeypatch.delenv("SHINEON_INT8_SPADE", raising=False)
+    opt = TestOptions().parse(argv=[
+        "--name", "int8_opt", "--model", "warp", "--dataset", "viton",
+        "--viton_dataroot", "/nonexistent", "--int8_spade",
+    ])
+    assert opt.int8_spade is True
+    import os
+
+    assert os.environ.get("SHINEON_INT8_SPADE") == "1"
