@@ -142,11 +142,16 @@ class SPADE(nn.Module):
     (spade.py:61-103). ``norm_nc`` inferred from the input.
 
     ``mode``:
-      * "apply": the reference formulation, conv by conv.
+      * "apply": the reference formulation, conv by conv. With ``hidden``
+        provided, the mlp_shared conv is skipped (a parent MultiSpade
+        computed every label's hidden map in one block-diagonal conv).
+        With int8 serving enabled, gamma/beta run as one merged int8 conv.
       * "apply_fused": one fused Pallas modulation (single label).
       * "args": create the same params but return the packed per-label
         arguments ``(ab, seg, wsh, bsh, wgb, bgb)`` for a parent MultiSpade
         to batch all labels into ONE fused kernel launch.
+      * "shared_params": return ``(wsh, bsh)`` for the parent's
+        block-diagonal mlp_shared packing.
     """
 
     config_text: str = "spadeinstance3x3"
