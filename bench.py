@@ -55,13 +55,6 @@ enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 
-# Production serving configuration: int8 gamma/beta SPADE convs (the MXU's
-# 2x-rate int8 path; 138.4 -> 165 f/s measured). Quality-neutral on the
-# hermetic QA loop: trained export SSIM 0.3315/PSNR 14.32 (fp) vs
-# 0.3303/14.29 (int8) — tests/test_e2e_quality.py, PARITY_E2E.md. Override
-# with SHINEON_INT8_SPADE=0 for full-precision serving.
-os.environ.setdefault("SHINEON_INT8_SPADE", "1")
-
 from __graft_entry__ import _raw_batch, _sams_opt
 from shineon_tpu.training.state import NetState
 
@@ -278,10 +271,13 @@ def build_train(batch_size: int, **opt_kw):
 
 
 def measure_train(profile_dir: str | None = None) -> dict:
-    # production default: --fast_gan_step (the G-step clip, detached, feeds
-    # both D updates; --exact_gan_step restores the reference's per-optimizer
-    # regeneration and is measured as the variant below)
-    model, state, step, batch, n_frames = build_train(TRAIN_BATCH)
+    # headline: --fast_gan_step, the documented production recommendation
+    # (the G-step clip, detached, feeds both D updates). The TRAIN DEFAULT is
+    # the reference-exact per-optimizer regeneration (--exact_gan_step),
+    # measured as the variant below.
+    model, state, step, batch, n_frames = build_train(
+        TRAIN_BATCH, fast_gan_step=True
+    )
 
     train_flops_costan = _flops_of(jax.jit(step).lower(state, batch).compile())
 
@@ -312,7 +308,8 @@ def measure_train(profile_dir: str | None = None) -> dict:
     train_flops = 4.0 * clip_fwd
     mfu = round(train_flops / dt / peak, 4) if peak else None
 
-    # --exact_gan_step variant (reference per-optimizer regeneration)
+    # --exact_gan_step variant (reference per-optimizer regeneration; the
+    # train-CLI default since round 4)
     _, f_state, f_step, f_batch, _ = build_train(
         TRAIN_BATCH, fast_gan_step=False
     )
@@ -405,6 +402,60 @@ def write_profile(
 # -------------------------------------------------------------------- main
 
 
+def run_with_retries(argv: list[str]) -> int:
+    """Re-exec this script as ``--inner`` subprocesses until one prints a
+    parseable result JSON line, with backoff between attempts.
+
+    Why a subprocess: JAX initializes its backend once per process, so a
+    failed/hung TPU-tunnel init (``RuntimeError: Unable to initialize backend
+    'axon': UNAVAILABLE`` — the exact failure that voided BENCH_r03.json)
+    cannot be retried in-process. Each attempt gets a fresh process, a hard
+    wall-clock timeout (the tunnel has been observed to HANG >120 s in
+    ``jax.devices()``), and any failure mode — init error, hang, crash,
+    garbage output — is survived by the next attempt."""
+    import subprocess
+
+    attempts = int(os.environ.get("SHINEON_BENCH_ATTEMPTS", "4"))
+    timeout_s = float(os.environ.get("SHINEON_BENCH_ATTEMPT_TIMEOUT", "2700"))
+    backoffs = [
+        float(x)
+        for x in os.environ.get("SHINEON_BENCH_BACKOFFS", "30,60,120").split(",")
+    ]
+    inner = os.environ.get("SHINEON_BENCH_INNER_CMD")  # test hook
+    cmd = (
+        [sys.executable, "-c", inner]
+        if inner
+        else [sys.executable, osp.abspath(__file__), "--inner", *argv]
+    )
+    last_err = ""
+    for attempt in range(attempts):
+        if attempt:
+            delay = backoffs[min(attempt - 1, len(backoffs) - 1)]
+            print(f"bench attempt {attempt} failed; retrying in {delay:.0f}s",
+                  file=sys.stderr)
+            time.sleep(delay)
+        try:
+            proc = subprocess.run(
+                cmd, stdout=subprocess.PIPE, timeout=timeout_s, text=True
+            )  # stderr passes through live
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt timed out after {timeout_s:.0f}s"
+            print(last_err, file=sys.stderr)
+            continue
+        for line in reversed((proc.stdout or "").strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(parsed, dict) and "metric" in parsed:
+                print(line)
+                return 0
+        last_err = f"attempt exited rc={proc.returncode} without a result line"
+        print(last_err, file=sys.stderr)
+    print(f"bench failed after {attempts} attempts: {last_err}", file=sys.stderr)
+    return 1
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--profile", action="store_true",
@@ -412,7 +463,24 @@ def main() -> None:
     p.add_argument("--flops", action="store_true",
                    help="print raw cost-analysis numbers and exit")
     p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--inner", action="store_true",
+                   help="run the measurement in THIS process (no retry "
+                   "wrapper); the default invocation re-execs itself with "
+                   "--inner under a backoff loop")
     args = p.parse_args()
+
+    if not args.inner:
+        fwd = [a for a in sys.argv[1:] if a != "--inner"]
+        sys.exit(run_with_retries(fwd))
+
+    # Bench serving configuration: int8 gamma/beta SPADE convs (the MXU's
+    # 2x-rate int8 path; 138.4 -> 165 f/s measured). Quality-neutral on the
+    # hermetic QA loop: trained export SSIM 0.3315/PSNR 14.32 (fp) vs
+    # 0.3303/14.29 (int8) — tests/test_e2e_quality.py, PARITY_E2E.md. On the
+    # CLI this is opt-in (--int8_spade); override here with
+    # SHINEON_INT8_SPADE=0 for full-precision serving. Set inside the inner
+    # process only, so importing bench never mutates the caller's env.
+    os.environ.setdefault("SHINEON_INT8_SPADE", "1")
 
     if args.flops:
         one_clip, warp_state, sams_state, batch, _ = build_inference(1)
@@ -436,10 +504,12 @@ def main() -> None:
 
     def _retry(fn, *fargs):
         # the axon tunnel occasionally surfaces a transient
-        # "INTERNAL: TPU backend error"; one retry rides it out
+        # "INTERNAL: TPU backend error" (JaxRuntimeError) or a plain
+        # RuntimeError from backend init; one in-process retry rides out the
+        # former, the --inner re-exec wrapper handles everything else
         try:
             return fn(*fargs)
-        except jax.errors.JaxRuntimeError as e:
+        except (jax.errors.JaxRuntimeError, RuntimeError) as e:
             print(f"transient backend error, retrying: {e}", file=sys.stderr)
             return fn(*fargs)
 

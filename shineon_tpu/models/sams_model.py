@@ -80,17 +80,18 @@ class SamsModel(BaseModel):
         )
         parser.add_argument(
             "--fast_gan_step", dest="fast_gan_step", action="store_true",
-            default=True,
-            help="[DEFAULT] Reuse the generator step's frames (detached) for "
-            "the discriminator updates instead of regenerating with the "
+            default=False,
+            help="Reuse the generator step's frames (detached) for the "
+            "discriminator updates instead of regenerating with the "
             "updated generator. ~16%% faster steps; slight semantic "
-            "deviation from the reference's per-optimizer regeneration.",
+            "deviation from the reference's per-optimizer regeneration "
+            "(a runtime warning is logged when active).",
         )
         parser.add_argument(
             "--exact_gan_step", dest="fast_gan_step", action="store_false",
-            help="Regenerate the clip with the updated generator before the "
-            "discriminator updates (the reference's exact per-optimizer "
-            "semantics, sams_model.py:598-608).",
+            help="[DEFAULT] Regenerate the clip with the updated generator "
+            "before the discriminator updates (the reference's exact "
+            "per-optimizer semantics, sams_model.py:598-608).",
         )
         from shineon_tpu import networks
         from shineon_tpu.options import gan_options
@@ -473,6 +474,17 @@ class SamsModel(BaseModel):
 
     def make_train_step(self):
         tx = self._tx
+        if getattr(self.opt, "fast_gan_step", False):
+            # ADVICE r3: the approximation must announce itself — the default
+            # is the reference's exact per-optimizer regeneration
+            from shineon_tpu.utils.log import get_logger
+
+            get_logger().warning(
+                "--fast_gan_step active: discriminator updates reuse the "
+                "pre-update generator's frames (approximation; pass "
+                "--exact_gan_step for the reference's per-optimizer "
+                "regeneration semantics)"
+            )
 
         def apply_updates(net: NetState, grads, which: str, new_stats=None):
             updates, new_opt = tx[which].update(grads, net.opt_state, net.params)
@@ -498,7 +510,7 @@ class SamsModel(BaseModel):
                 state.nets["generator"], g_grads, "generator", new_stats=g_stats
             )
 
-            if getattr(opt, "fast_gan_step", True):
+            if getattr(opt, "fast_gan_step", False):
                 # reuse the G-step clip (detached) for both D updates — skips a
                 # full 5-frame regeneration per step (documented approximation)
                 fake_frame = jax.lax.stop_gradient(g_fake)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from shineon_tpu.datasets.channels import RGB_CHANNELS, MASK_CHANNELS, channels_for
 from shineon_tpu.networks.sams.attentive_multispade import AttentiveMultiSpade
 from shineon_tpu.networks.sams.multispade import MultiSpade
-from shineon_tpu.networks.sams.spade import SPADE, AnySpadeResBlock
+from shineon_tpu.networks.sams.spade import SPADE, AnySpadeResBlock, maybe_int8_conv
 
 
 def _resize_nearest_scale(x: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -148,8 +148,9 @@ class SamsGenerator(nn.Module):
         spade_kwargs = dict(train=train, update_stats=update_stats)
 
         # ----- ENCODE -----
-        x = nn.Conv(NGF_OUTER, (3, 3), padding=pad1, dtype=self.dtype,
-                    name="encode_conv_in")(x)
+        conv_ctor = maybe_int8_conv(train)  # int8 serving covers these, too
+        x = conv_ctor(NGF_OUTER, (3, 3), padding=pad1, dtype=self.dtype,
+                      name="encode_conv_in")(x)
         enc_pows = list(range(self.ngf_pow_outer, self.ngf_pow_inner, self.ngf_pow_step))
         out_feat = NGF_OUTER
         for i, pow_ in enumerate(enc_pows):
@@ -195,8 +196,8 @@ class SamsGenerator(nn.Module):
             x = block(
                 fin=out_feat, fout=NGF_OUTER, spade_ctor=spade_cls, name="decode_extra"
             )(x, current, **spade_kwargs)
-        x = nn.Conv(out_channels, (3, 3), padding=pad1, dtype=self.dtype,
-                    name="decode_conv_out")(x)
+        x = conv_ctor(out_channels, (3, 3), padding=pad1, dtype=self.dtype,
+                      name="decode_conv_out")(x)
         if train:
             # training keeps the composite/warp/loss math in f32
             return x.astype(jnp.float32)

@@ -113,28 +113,66 @@ def _conv_same_int8(v, kernel, bias, compute_dtype):
     activation scale, per-output-channel weight scale, int32 accumulation
     on the MXU's 2x-rate int8 path, dequantized + bias at f32.
 
-    Off TPU the quantized operands run through an exact f32 emulation
-    (|acc| < 2^24, exactly representable), so tests pin the numerics
-    platform-independently."""
+    Every platform runs real int8 operands with an int32 accumulator (XLA:CPU
+    lowers integer convs exactly), so the quantized numerics are
+    platform-identical by construction — no float emulation, no 2^24
+    accumulator-magnitude caveat."""
     p = kernel.shape[0] // 2
     vf = v.astype(jnp.float32)
     s = jnp.max(jnp.abs(vf)) / 127.0 + 1e-30
-    vq = jnp.clip(jnp.round(vf / s), -127, 127)
+    vq = jnp.clip(jnp.round(vf / s), -127, 127).astype(jnp.int8)
     kf = kernel.astype(jnp.float32)
     ksc = jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0 + 1e-30
-    kq = jnp.clip(jnp.round(kf / ksc), -127, 127)
-    on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
-        vq, kq, pt = vq.astype(jnp.int8), kq.astype(jnp.int8), jnp.int32
-    else:
-        pt = jnp.float32
+    kq = jnp.clip(jnp.round(kf / ksc), -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         vq, kq, (1, 1), ((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=pt,
+        preferred_element_type=jnp.int32,
     )
     out = acc.astype(jnp.float32) * (s * ksc) + bias.astype(jnp.float32)
     return out.astype(compute_dtype)
+
+
+class Int8Conv(nn.Module):
+    """Drop-in replacement for ``nn.Conv`` (identical param tree: ``kernel``
+    HWIO + optional ``bias``, lecun-normal/zeros init) whose forward runs the
+    symmetric-int8 MXU path of :func:`_conv_same_int8`.
+
+    Constructed only at serving when ``int8_spade_enabled`` — round 4 extends
+    the quantized serving mode beyond the SPADE gamma/beta convs to the
+    resblock/encoder/final generator convs (the remaining 1.86 TFLOP/frame-
+    batch, docs/PERF_NOTES.md). Because the param names match ``nn.Conv``,
+    ``nn.SpectralNorm`` wraps it transparently (the kernel this module reads
+    is already spectrally normalized) and converted checkpoints load
+    unchanged. SAME padding only (all generator convs are SAME)."""
+
+    features: int
+    kernel_size: tuple
+    padding: Any = None  # accepted for signature parity; SAME is implied
+    use_bias: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = int(self.kernel_size[0])
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (ks, ks, x.shape[-1], self.features), jnp.float32,
+        )
+        cd = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
+        return _conv_same_int8(x, kernel, bias, cd)
+
+
+def maybe_int8_conv(train: bool):
+    """The conv constructor for the current mode: ``nn.Conv`` in training /
+    full-precision serving, :class:`Int8Conv` under int8 serving."""
+    return Int8Conv if int8_spade_enabled(train) else nn.Conv
 
 
 class SPADE(nn.Module):
@@ -247,8 +285,9 @@ class AnySpadeResBlock(nn.Module):
 
         def conv(h, feats, ksize, use_bias, name):
             pad = ((ksize // 2, ksize // 2),) * 2
-            layer = nn.Conv(feats, (ksize, ksize), padding=pad, use_bias=use_bias,
-                            dtype=self.dtype, name=name)
+            ctor = maybe_int8_conv(train)
+            layer = ctor(feats, (ksize, ksize), padding=pad, use_bias=use_bias,
+                         dtype=self.dtype, name=name)
             if spectral:
                 return nn.SpectralNorm(layer)(h, update_stats=update_stats)
             return layer(h)

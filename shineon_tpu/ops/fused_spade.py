@@ -272,7 +272,10 @@ def _dispatch(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name):
         return multispade_modulate_reference(
             x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name
         )
-    cd = jnp.bfloat16
+    # pack at the caller's precision: bf16 callers get the MXU's bf16 path,
+    # f32 callers keep full precision (matches the unfused path's
+    # promote(x.dtype, f32) semantics)
+    cd = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     segc, wsh, bsh, wgb, bgb = _pack_inputs(
         segs_nhwc, wshs, bshs, wgbs, bgbs, cd
     )

@@ -24,6 +24,10 @@ import sys
 
 from shineon_tpu.utils.log import get_logger
 
+# True iff a previous parse() in this process set SHINEON_INT8_SPADE — lets
+# parse() clear its own setting without clobbering an external export.
+_INT8_ENV_OWNED = False
+
 logger = get_logger()
 
 
@@ -175,10 +179,18 @@ class BaseOptions:
 
         SamsModel.apply_default_encoder_input(opt)
 
+        # The quantized-serving switch is read at trace time by
+        # shineon_tpu.networks.sams.spade.int8_spade_enabled. parse() only
+        # ever clears a value a previous parse() set (tracked by the module
+        # sentinel), so an externally exported SHINEON_INT8_SPADE survives —
+        # but repeated parses in one process can't leak the flag (ADVICE r3).
+        global _INT8_ENV_OWNED
         if getattr(opt, "int8_spade", False):
-            # the quantized-serving switch is read at trace time by
-            # shineon_tpu.networks.sams.spade.int8_spade_enabled
             os.environ["SHINEON_INT8_SPADE"] = "1"
+            _INT8_ENV_OWNED = True
+        elif _INT8_ENV_OWNED:
+            os.environ.pop("SHINEON_INT8_SPADE", None)
+            _INT8_ENV_OWNED = False
 
         self.print_options(opt)
         self.opt = opt

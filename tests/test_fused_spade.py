@@ -161,3 +161,32 @@ def test_int8_spade_close_to_fp(monkeypatch):
                            mutable=["batch_stats"])[0]
     np.testing.assert_array_equal(np.asarray(out_train_q),
                                   np.asarray(out_train_fp))
+
+
+def test_int8_serving_covers_resblock_and_generator_convs(monkeypatch):
+    """Round 4: int8 serving extends past the SPADE gamma/beta convs to the
+    spectral resblock convs and the generator's encode/decode convs — with
+    an UNCHANGED param tree (Int8Conv declares nn.Conv's exact params, so
+    nn.SpectralNorm wraps it transparently and converted checkpoints load)."""
+    from shineon_tpu.networks.sams.spade import AnySpadeResBlock
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 16, 12, 32).astype(np.float32))
+    seg = jnp.asarray(rng.randn(2, 16, 12, 4).astype(np.float32))
+    m = AnySpadeResBlock(fin=32, fout=16, norm_G="spectralspadeinstance3x3")
+    monkeypatch.delenv("SHINEON_INT8_SPADE", raising=False)
+    variables = m.init(jax.random.PRNGKey(0), x, seg, train=True)
+    tree_fp = jax.tree_util.tree_map(lambda v: v.shape, variables)
+
+    out_fp = m.apply(variables, x, seg, train=False)
+    monkeypatch.setenv("SHINEON_INT8_SPADE", "1")
+    out_q = m.apply(variables, x, seg, train=False)
+    # the int8 structure must bind to the same variable tree
+    tree_q = jax.tree_util.tree_map(
+        lambda v: v.shape, m.init(jax.random.PRNGKey(0), x, seg, train=False)
+    )
+    assert tree_q == tree_fp
+    diff = np.abs(np.asarray(out_q) - np.asarray(out_fp))
+    scale = np.abs(np.asarray(out_fp)).max()
+    assert diff.max() > 0, "int8 path not taken"
+    assert diff.max() / scale < 5e-2, diff.max() / scale

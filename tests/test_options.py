@@ -127,3 +127,38 @@ def test_int8_spade_flag_sets_env(monkeypatch):
     import os
 
     assert os.environ.get("SHINEON_INT8_SPADE") == "1"
+    # don't leak quantized serving into later tests in this process (the
+    # ownership rule below would clear it on the next parse, but tests that
+    # never parse options must not see it either)
+    os.environ.pop("SHINEON_INT8_SPADE", None)
+
+
+def test_int8_spade_env_does_not_leak_across_parses(monkeypatch):
+    """A parse() WITHOUT --int8_spade clears a value a previous parse() set
+    (ADVICE r3: long-lived processes must not leak quantized serving into
+    runs that did not request it) — but never clobbers an external export."""
+    import os
+
+    from shineon_tpu.options.test_options import TestOptions
+
+    base = [
+        "--name", "int8_leak", "--model", "warp", "--dataset", "viton",
+        "--viton_dataroot", "/nonexistent",
+    ]
+    monkeypatch.delenv("SHINEON_INT8_SPADE", raising=False)
+    TestOptions().parse(argv=base + ["--int8_spade"])
+    assert os.environ.get("SHINEON_INT8_SPADE") == "1"
+    TestOptions().parse(argv=base)
+    assert "SHINEON_INT8_SPADE" not in os.environ
+
+    # externally exported value survives a flag-absent parse
+    monkeypatch.setenv("SHINEON_INT8_SPADE", "1")
+    TestOptions().parse(argv=base)
+    assert os.environ.get("SHINEON_INT8_SPADE") == "1"
+
+
+def test_exact_gan_step_is_default():
+    """The reference's per-optimizer regeneration is the default; the faster
+    approximation is opt-in via --fast_gan_step (ADVICE r3)."""
+    opt = namespace_from_defaults("sams", "vvt")
+    assert opt.fast_gan_step is False
