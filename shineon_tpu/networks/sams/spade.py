@@ -144,7 +144,15 @@ class Int8Conv(nn.Module):
     batch, docs/PERF_NOTES.md). Because the param names match ``nn.Conv``,
     ``nn.SpectralNorm`` wraps it transparently (the kernel this module reads
     is already spectrally normalized) and converted checkpoints load
-    unchanged. SAME padding only (all generator convs are SAME)."""
+    unchanged. SAME padding only (all generator convs are SAME).
+
+    Channel gate: per-shape int8 speedups (docs/SPADE_KERNEL_BENCH.md) are
+    1.33-1.57x at >=128 channels and ~1.09x at 64 channels; same-day e2e A/B
+    (docs/PERF_NOTES.md round 4) measured SPADE-only 150.5 f/s, gated >=128
+    152.0, ungated 152.9 — the resblock extension is a ~1-1.6% e2e win and
+    the gate is there to keep the lane-hostile tiny convs (12-in / 3-out at
+    full res) off the quantize path. Convs where either channel count is
+    below ``SHINEON_INT8_MIN_CH`` (default 64) run the normal bf16 path."""
 
     features: int
     kernel_size: tuple
@@ -166,6 +174,9 @@ class Int8Conv(nn.Module):
             )
         else:
             bias = jnp.zeros((self.features,), jnp.float32)
+        min_ch = int(os.environ.get("SHINEON_INT8_MIN_CH", "64"))
+        if min(x.shape[-1], self.features) < min_ch:
+            return _conv_same(x, kernel, bias, cd)
         return _conv_same_int8(x, kernel, bias, cd)
 
 

@@ -180,6 +180,9 @@ def test_int8_serving_covers_resblock_and_generator_convs(monkeypatch):
 
     out_fp = m.apply(variables, x, seg, train=False)
     monkeypatch.setenv("SHINEON_INT8_SPADE", "1")
+    # the production channel gate (128) would keep these tiny test convs on
+    # the bf16 path; lower it so the int8 path is exercised
+    monkeypatch.setenv("SHINEON_INT8_MIN_CH", "8")
     out_q = m.apply(variables, x, seg, train=False)
     # the int8 structure must bind to the same variable tree
     tree_q = jax.tree_util.tree_map(

@@ -94,7 +94,11 @@ def main():
     text = lowered.as_text()
     total, by_shape = census(text)
     n = opt.n_frames_total
-    per_fwd = total / n
+    # the frame loop is a lax.scan -> ONE stablehlo.while whose body text
+    # appears once, so the census total IS the per-forward count (verified:
+    # e.g. 16 instances of the 3x3x128x128 full-res conv = decode_3's
+    # 2 spades x 4 labels x [gamma, beta] per single forward)
+    per_fwd = total
 
     sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
     from bench import _analytic_generator_flops
@@ -104,17 +108,17 @@ def main():
     rows = sorted(by_shape.items(), key=lambda kv: -kv[1][1])
     lines = [
         f"HLO census of generate_n_frames (batch {args.batch}, "
-        f"{n} frames, fp serving graph):",
+        f"{n}-frame scan whose body lowers once, fp serving graph):",
         "",
-        "| op shape | count | TFLOP |",
+        "| op shape | count/forward | TFLOP |",
         "|---|---|---|",
     ]
     for key, (cnt, fl) in rows[:20]:
         lines.append(f"| `{key}` | {cnt} | {fl/1e12:.3f} |")
     lines += [
         "",
-        f"- clip total (5 frames + scan overhead ops): {total/1e12:.2f} TFLOP",
-        f"- per generator forward (clip/{n}): {per_fwd/1e12:.2f} TFLOP",
+        f"- per generator forward (scan body + prologue): "
+        f"{per_fwd/1e12:.2f} TFLOP",
         f"- analytic count (bench._analytic_generator_flops): "
         f"{analytic/1e12:.2f} TFLOP",
         f"- ratio census/analytic: {per_fwd/analytic:.3f}",

@@ -31,22 +31,47 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--epochs", type=int, nargs="*", default=[35, 100, 250])
     p.add_argument("--workdir", default=None)
+    p.add_argument(
+        "--production", action="store_true",
+        help="VERDICT r3 item 3: run the curve at the PRODUCTION config "
+        "(256x192, 5-frame clips, full SAMS architecture, --remat, the "
+        "default exact GAN step) on the real chip; the largest point also "
+        "exports the SAME trained state under int8 serving so fp-vs-int8 "
+        "quality neutrality is measured at scale, not asserted.",
+    )
     args = p.parse_args()
 
     curve = []
-    for ep in args.epochs:
-        r = run_e2e(
-            model_name="sams", fine_height=32, fine_width=24, n_frames=3,
-            frames_per_video=12, batch_size=4, epochs=ep, lr=1e-3,
-            workdir=None if args.workdir is None
-            else osp.join(args.workdir, f"ep{ep}"),
-            arch_overrides=dict(TINY_SAMS),
-        )
+    for i, ep in enumerate(args.epochs):
+        last = i == len(args.epochs) - 1
+        if args.production:
+            r = run_e2e(
+                model_name="sams", fine_height=256, fine_width=192,
+                n_frames=5, frames_per_video=24, batch_size=4, epochs=ep,
+                lr=2e-4,
+                workdir=None if args.workdir is None
+                else osp.join(args.workdir, f"ep{ep}"),
+                arch_overrides={"remat": True},
+                extra_export_envs=(
+                    {"int8": {"SHINEON_INT8_SPADE": "1"}} if last else None
+                ),
+            )
+        else:
+            r = run_e2e(
+                model_name="sams", fine_height=32, fine_width=24, n_frames=3,
+                frames_per_video=12, batch_size=4, epochs=ep, lr=1e-3,
+                workdir=None if args.workdir is None
+                else osp.join(args.workdir, f"ep{ep}"),
+                arch_overrides=dict(TINY_SAMS),
+            )
         point = {
             "epochs": ep, "steps": r["train_steps"],
             "ssim": r["ssim_trained"], "psnr": r["psnr_trained"],
             "ssim_init": r["ssim_init"],
         }
+        for k in ("ssim_int8", "psnr_int8"):
+            if k in r:
+                point[k] = r[k]
         print(json.dumps(point), flush=True)
         curve.append(point)
     print(json.dumps({"curve": curve}))
