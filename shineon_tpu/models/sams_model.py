@@ -171,7 +171,8 @@ class SamsModel(BaseModel):
             # unless --allow_random_vgg opts out (reference loss.py:110)
             self.criterion_vgg = VGGLoss(
                 allow_random=getattr(opt, "allow_random_vgg", False)
-                or getattr(opt, "wt_vgg", 1.0) == 0
+                or getattr(opt, "wt_vgg", 1.0) == 0,
+                dtype=self.compute_dtype,
             )
         self._tx = {}
         self._schedules = {}

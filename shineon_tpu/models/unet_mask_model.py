@@ -68,7 +68,8 @@ class UnetMaskModel(BaseModel):
         # train time unless --allow_random_vgg opts out
         self.criterion_vgg = VGGLoss(
             allow_random=getattr(opt, "allow_random_vgg", False)
-            or not self.is_train
+            or not self.is_train,
+            dtype=self.compute_dtype,
         )
         self._tx = None
         self._schedule = None

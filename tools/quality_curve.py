@@ -49,6 +49,9 @@ def main() -> None:
                 model_name="sams", fine_height=256, fine_width=192,
                 n_frames=5, frames_per_video=24, batch_size=4, epochs=ep,
                 lr=2e-4,
+                # bf16 compute policy: the production training config (what
+                # bench.py measures; f32 at this size exceeds the 16G chip)
+                precision=16,
                 workdir=None if args.workdir is None
                 else osp.join(args.workdir, f"ep{ep}"),
                 arch_overrides={"remat": True},
