@@ -13,6 +13,7 @@ from shineon_tpu.networks.sams.spade import (
     SPADE,
     _conv_same,
     _resize_nearest,
+    fused_spade_chain_enabled,
     fused_spade_enabled,
     int8_spade_enabled,
     parse_spade_config,
@@ -56,7 +57,8 @@ class MultiSpade(nn.Module):
             )
             for key in keys
         ]
-        if fused_spade_enabled(train) and ks == 3:
+        site = (x.shape[-3], x.shape[-2], x.shape[-1])
+        if fused_spade_chain_enabled(train, site) and ks == 3:
             # Label k's norm statistics are taken from the INTERMEDIATE
             # chain value. Only running-average stats (batch/syncbatch at
             # eval) are intermediate-independent, allowing one kernel for
@@ -73,9 +75,14 @@ class MultiSpade(nn.Module):
                     act_name=self.activation,
                     quantized=int8_spade_enabled(train),
                 )
-            for spade, key in zip(spades, keys):
-                x = spade(x, labelmaps[key], train=train, mode="apply_fused")
-            return x
+            if fused_spade_enabled(train):
+                # instance norm chains per-label fused launches — only under
+                # the explicit SHINEON_FUSED_SPADE=1 override (the auto
+                # winners table is measured for the whole-chain kernel)
+                for spade, key in zip(spades, keys):
+                    x = spade(x, labelmaps[key], train=train,
+                              mode="apply_fused")
+                return x
 
         # Block-diagonal mlp_shared packing: the hidden maps depend only on
         # the segmaps (not the chain value), so all L labels' tiny-Cin

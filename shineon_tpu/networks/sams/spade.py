@@ -28,12 +28,52 @@ def fused_spade_enabled(train: bool) -> bool:
     """Whether SPADE modulation should run through the fused Pallas kernel.
 
     Default OFF: in-graph XLA pipelines the SPADE conv streams at ~67% MFU
-    (docs/SPADE_KERNEL_BENCH.md), which the measured kernel does not beat at
-    the dominant full-resolution sites. ``SHINEON_FUSED_SPADE=1`` opts in
-    (kernel correctness is production-tested; on non-TPU backends the fused
-    op falls back to the XLA reference formulation).
+    (docs/SPADE_KERNEL_BENCH.md), which the measured bf16 kernel does not
+    beat at the dominant full-resolution sites. ``SHINEON_FUSED_SPADE=1``
+    opts in everywhere (kernel correctness is production-tested; on non-TPU
+    backends the fused op falls back to the XLA reference formulation).
+    For the int8 serving mode, the per-site winners table below
+    (:func:`fused_spade_chain_enabled`) turns the kernel on automatically
+    where it measures faster than the XLA int8 path.
     """
     return os.environ.get("SHINEON_FUSED_SPADE") == "1" and not train
+
+
+# (H, W, C) sites where the in-kernel int8 gamma/beta path beats the XLA
+# int8 serving formulation on the v5e (tools/bench_fused_spade.py --int8,
+# serving batch 16, same-day A/B): 1.04-1.08x. The remaining production
+# sites (256x192xC64, 64x48xC256, 16x12xC1024) measured 0.90-0.98x and stay
+# on XLA. Measured on the L=4-labelmap MultiSpade chain of the production
+# SamsGenerator; docs/SPADE_KERNEL_BENCH.md has the full table.
+_FUSED_INT8_WIN_SITES = frozenset({
+    (256, 192, 128),
+    (128, 96, 128),
+    (128, 96, 256),
+    (64, 48, 512),
+    (32, 24, 512),
+    (32, 24, 1024),
+})
+
+
+def fused_spade_chain_enabled(train: bool, shape=None) -> bool:
+    """Site-aware gate for the whole-chain fused MultiSpade kernel.
+
+    ``SHINEON_FUSED_SPADE=1`` forces the kernel on everywhere;
+    ``SHINEON_FUSED_SPADE=sites`` uses it only in the int8 serving mode at
+    the isolated-measurement winner sites (``_FUSED_INT8_WIN_SITES``).
+    Default: OFF. The in-kernel int8 path wins 1.04-1.08x at 6/9 production
+    sites when timed in isolation, but the same-day e2e A/B measured the
+    sites mode at 141.8 f/s vs 154.6 f/s without it — in-graph XLA overlaps
+    the quantize/pack work with neighboring conv streams while the kernel
+    launch serializes it (docs/SPADE_KERNEL_BENCH.md round-4 table)."""
+    if train:
+        return False
+    env = os.environ.get("SHINEON_FUSED_SPADE")
+    if env == "1":
+        return True
+    if env != "sites" or shape is None or not int8_spade_enabled(train):
+        return False
+    return tuple(shape) in _FUSED_INT8_WIN_SITES
 
 
 def parse_spade_config(config_text: str) -> tuple[str, int]:

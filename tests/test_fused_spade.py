@@ -237,3 +237,28 @@ def test_dispatch_cpu_fallback_quantized():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=1e-5)
+
+
+def test_sites_mode_gating(monkeypatch):
+    """SHINEON_FUSED_SPADE routing: default OFF everywhere (the e2e A/B
+    measured the sites mode 8% slower in-graph, docs/SPADE_KERNEL_BENCH.md
+    round 4); '=sites' routes only the measured winner sites, int8 mode
+    only; '=1' forces on; '=0' forces off."""
+    from shineon_tpu.networks.sams.spade import fused_spade_chain_enabled
+
+    win, lose = (128, 96, 128), (256, 192, 64)
+    monkeypatch.delenv("SHINEON_FUSED_SPADE", raising=False)
+    monkeypatch.setenv("SHINEON_INT8_SPADE", "1")
+    assert not fused_spade_chain_enabled(train=False, shape=win)
+
+    monkeypatch.setenv("SHINEON_FUSED_SPADE", "sites")
+    assert fused_spade_chain_enabled(train=False, shape=win)
+    assert not fused_spade_chain_enabled(train=False, shape=lose)
+    assert not fused_spade_chain_enabled(train=True, shape=win)
+    monkeypatch.delenv("SHINEON_INT8_SPADE")
+    assert not fused_spade_chain_enabled(train=False, shape=win)
+
+    monkeypatch.setenv("SHINEON_FUSED_SPADE", "1")
+    assert fused_spade_chain_enabled(train=False, shape=lose)
+    monkeypatch.setenv("SHINEON_FUSED_SPADE", "0")
+    assert not fused_spade_chain_enabled(train=False, shape=win)
