@@ -129,7 +129,53 @@ def _gather_corner_blocks(image, x0, y0, padding_mode):
     return v00, v01, v10, v11
 
 
+# Forward-formulation gate for the separable one-hot contraction: cap the
+# (B, P, W, C) f32 row-interp intermediate (~2 GB) so oversized callers fall
+# back to the block gather. Production serving (B16, 256x192, C<=3) is 453M.
+_ONEHOT_FWD_MAX_ROWS_ELEMENTS = 512_000_000
+
+
+def _use_onehot_forward(image_shape, grid_shape) -> bool:
+    B, H, W, C = image_shape
+    P = int(grid_shape[1]) * int(grid_shape[2])
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and B * P * W * C <= _ONEHOT_FWD_MAX_ROWS_ELEMENTS
+
+
+def _grid_sample_onehot_impl(image, grid, padding_mode, align_corners):
+    """Gather-free forward: the backward's separable 2-sparse splat matrices
+    run FORWARD — y-interp as a (P, H) x (H, W*C) contraction, then x-interp
+    as a per-pixel (W,) contraction. XLA:TPU turns the 2-sparse dots into
+    large-contiguous-slice row selections; measured 3.15x faster than the
+    2x2-block corner gather at the production warp shape (B16, 256x192, C3:
+    6.1 vs 19.2 ms — tools/bench_warp_gather.py), whose (P, 2, 2, C=3)
+    output wastes ~98% of each (8,128) tile's lanes. Numerics: f32 weights
+    and accumulation — tighter than the bf16 block-gather combine."""
+    B, H, W, C = image.shape
+    _, _, _, _, x0, y0, wx1, wy1 = _coords_and_weights(
+        image.shape, grid, padding_mode, align_corners
+    )
+    flat = lambda a: a.reshape(B, -1)  # noqa: E731
+    Wy = _axis_weight_matrix(flat(y0), flat(wy1), H, padding_mode)  # (B,P,H)
+    Wx = _axis_weight_matrix(flat(x0), flat(wx1), W, padding_mode)  # (B,P,W)
+    rows = jnp.einsum(
+        "bph,bhwc->bpwc", Wy, image.astype(Wy.dtype),
+        preferred_element_type=Wy.dtype,
+    )
+    out = jnp.einsum(
+        "bpw,bpwc->bpc", Wx, rows, preferred_element_type=Wy.dtype
+    )
+    return out.reshape(x0.shape + (C,)).astype(image.dtype)
+
+
 def _grid_sample_impl(image, grid, padding_mode, align_corners):
+    if _use_onehot_forward(image.shape, grid.shape):
+        return _grid_sample_onehot_impl(
+            image, grid, padding_mode, align_corners
+        )
     _, _, _, _, x0, y0, wx1, wy1 = _coords_and_weights(
         image.shape, grid, padding_mode, align_corners
     )

@@ -165,3 +165,56 @@ def test_grid_sample_custom_vjp_matches_autodiff(rng):
                 np.asarray(_grid_sample_impl(img, grid, pm, ac)),
                 np.asarray(_grid_sample_cv(img, grid, pm, ac)), atol=1e-6,
             )
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_onehot_forward_matches_torch_and_grad(rng, padding_mode,
+                                               align_corners):
+    """The TPU serving forward (separable one-hot contraction,
+    _grid_sample_onehot_impl — 3.15x the block gather on the v5e, see
+    tools/bench_warp_gather.py) must match torch grid_sample exactly, and
+    its autodiff d/d-image and d/d-grid must match the block-gather
+    custom VJP (it is the fallback forward for C > 16 callers where the
+    custom VJP is disabled)."""
+    from shineon_tpu.ops.grid_sample import (
+        _grid_sample_cv,
+        _grid_sample_onehot_impl,
+    )
+
+    img = _rand_image(rng)
+    grid = _rand_grid(rng)
+    ours = _grid_sample_onehot_impl(
+        jnp.asarray(img), jnp.asarray(grid), padding_mode, align_corners
+    )
+    theirs = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode="bilinear", padding_mode=padding_mode,
+        align_corners=align_corners,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-5, atol=1e-5)
+
+    import jax
+
+    def loss_oh(i, g):
+        return jnp.sum(
+            _grid_sample_onehot_impl(i, g, padding_mode, align_corners)
+            ** 2
+        )
+
+    def loss_cv(i, g):
+        return jnp.sum(
+            _grid_sample_cv(i, g, padding_mode, align_corners) ** 2
+        )
+
+    gi_oh, gg_oh = jax.grad(loss_oh, argnums=(0, 1))(
+        jnp.asarray(img), jnp.asarray(grid)
+    )
+    gi_cv, gg_cv = jax.grad(loss_cv, argnums=(0, 1))(
+        jnp.asarray(img), jnp.asarray(grid)
+    )
+    np.testing.assert_allclose(np.asarray(gi_oh), np.asarray(gi_cv),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_oh), np.asarray(gg_cv),
+                               rtol=1e-4, atol=1e-4)
