@@ -54,8 +54,19 @@ class VVTDataset(TryonDataset, NFramesInterface):
 
     # ---------- path registration (vvt_dataset.py:56-115) ----------
 
+    def _tryon_task_active(self) -> bool:
+        """True when running the try-on task (a NEW garment on each person):
+        test-time with --tryon_list (reference vvt_dataset.py:58) or
+        --random_tryon (declared at reference options/test_options.py:26-29
+        but never consumed there — a dead flag; this framework implements its
+        advertised semantics, see load_file_paths_for_tryon_task)."""
+        return not self.opt.is_train and bool(
+            getattr(self.opt, "tryon_list", None)
+            or getattr(self.opt, "random_tryon", False)
+        )
+
     def load_file_paths(self, i_am_validation: bool = False):
-        if not self.opt.is_train and getattr(self.opt, "tryon_list", None):
+        if self._tryon_task_active():
             self.load_file_paths_for_tryon_task()
         else:
             self.load_file_paths_for_reconstruction_task(i_am_validation)
@@ -77,21 +88,53 @@ class VVTDataset(TryonDataset, NFramesInterface):
             self.image_names.extend(sorted(glob(f"{video_folder}/*.png")))
 
     def load_file_paths_for_tryon_task(self):
-        """Try-on task: cloth<->video pairs from a CSV (vvt_dataset.py:86-105)."""
+        """Try-on task: cloth<->video pairs from a CSV (vvt_dataset.py:86-105),
+        or deterministic random pairs under --random_tryon."""
         self.video_ids_to_cloth_paths = {}
         video_folders = []
-        with open(self.opt.tryon_list, "r") as f:
-            for line in f.readlines():
-                cloth_path, video_id = line.split(",")
-                cloth_path, video_id = cloth_path.strip(), video_id.strip()
-                self.video_ids_to_cloth_paths[video_id] = cloth_path
-                video_folders.append(
-                    osp.join(
-                        self.opt.vvt_dataroot, self.opt.datamode,
-                        f"{self.opt.datamode}_frames", video_id,
-                    )
+        for cloth_path, video_id in self._tryon_pairs():
+            self.video_ids_to_cloth_paths[video_id] = cloth_path
+            video_folders.append(
+                osp.join(
+                    self.opt.vvt_dataroot, self.opt.datamode,
+                    f"{self.opt.datamode}_frames", video_id,
                 )
+            )
         self.register_videos(video_folders, 0, len(video_folders))
+
+    def _tryon_pairs(self):
+        """(cloth_path, video_id) pairs for the try-on task.
+
+        With --tryon_list: the CSV rows, verbatim (reference
+        vvt_dataset.py:90-105). With --random_tryon (a flag the reference
+        declares at options/test_options.py:26-29 but never consumes): pair
+        each test video with the product cloth of a DIFFERENT video via a
+        seed-420 shuffle — deterministic across runs and processes, and no
+        person re-wears their own garment (unless only one video exists)."""
+        if getattr(self.opt, "tryon_list", None):
+            with open(self.opt.tryon_list, "r") as f:
+                return [
+                    tuple(part.strip() for part in line.split(","))
+                    for line in f.readlines() if line.strip()
+                ]
+        import numpy as np
+
+        folder = f"{self.opt.datamode}/{self.opt.datamode}_frames"
+        video_ids = [
+            osp.basename(osp.normpath(p))
+            for p in sorted(glob(f"{self.root}/{folder}/*/"))
+        ]
+        assert video_ids, f"--random_tryon found no videos under {folder}"
+        cloth_root = osp.join(self.root, "clothes_person", "img")
+        cloths = [
+            self.find_cloth_path_under_vvt_root("cloth_front", cloth_root, vid)
+            for vid in video_ids
+        ]
+        order = np.random.RandomState(420).permutation(len(video_ids))
+        return [
+            (cloths[order[(k + 1) % len(order)]], video_ids[order[k]])
+            for k in range(len(order))
+        ]
 
     # ---------- cloth paths (vvt_dataset.py:122-186) ----------
 
@@ -100,11 +143,20 @@ class VVTDataset(TryonDataset, NFramesInterface):
         video_id = VVTDataset.extract_video_id(image_path)
         frame_word = extract_frame_substring(image_path)
 
-        if not self.opt.is_train and getattr(self.opt, "tryon_list", None):
+        if self._tryon_task_active():
             if self.opt.model == "warp":
                 return self.video_ids_to_cloth_paths[video_id]
+            assert self.opt.warp_cloth_dir, (
+                "try-on task TOM/SAMS runs need --warp_cloth_dir pointed at "
+                "the stage-1 warp export (docs/2_inference.md)"
+            )
             cloth_folder = osp.join(self.opt.warp_cloth_dir, video_id)
             matches = sorted(glob(f"{cloth_folder}/*{frame_word}*"))
+            assert matches, (
+                f"no stage-1 warp-cloth file for {frame_word!r} under "
+                f"{cloth_folder}; run the warp model with the same try-on "
+                f"pairing first"
+            )
             return matches[0]
 
         if self.opt.model == "warp":
@@ -136,7 +188,7 @@ class VVTDataset(TryonDataset, NFramesInterface):
 
     def get_input_cloth_name(self, index: int) -> str:
         cloth_path = self.get_input_cloth_path(index)
-        if not self.opt.is_train and getattr(self.opt, "tryon_list", None):
+        if self._tryon_task_active():
             video_id = VVTDataset.extract_video_id(self.image_names[index])
         else:
             video_id = VVTDataset.extract_video_id(cloth_path)

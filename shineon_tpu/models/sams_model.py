@@ -655,7 +655,12 @@ class SamsModel(BaseModel):
         dataset_names = [d[-1] if isinstance(d, list) else d for d in dataset_names]
         if im_names and isinstance(im_names[0], list):
             im_names = [n[-1] for n in im_names]
-        task = "tryon" if getattr(self.opt, "tryon_list", None) else "reconstruction"
+        task = (
+            "tryon"
+            if getattr(self.opt, "tryon_list", None)
+            or getattr(self.opt, "random_tryon", False)
+            else "reconstruction"
+        )
         try_on_dirs = [
             osp.join(self.test_results_dir, d, task) for d in dataset_names
         ]

@@ -52,7 +52,8 @@ def _namespace(**kw) -> argparse.Namespace:
         batch_size=4, workers=0, no_shuffle=False,
         limit_train_batches="1.0", limit_val_batches="1.0",
         ngf=64, self_attn=False, num_attn=2, precision=32,
-        tryon_list=None, warp_cloth_dir=None, pen_flow_mask=0.25,
+        tryon_list=None, random_tryon=False, warp_cloth_dir=None,
+        pen_flow_mask=0.25,
         display_count=1000000, save_count=1000000,
         checkpoint="", fast_dev_run=False, loglevel="warning",
         val_check_interval="1.0", data_list="train_pairs.txt",

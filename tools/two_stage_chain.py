@@ -66,6 +66,144 @@ def _export(model_cls, opt_kw, state, result_dir):
     Trainer(eval_opt).test(model, state)
 
 
+def _center_color(png_path, box=None):
+    """Median RGB over a region of a PNG (default: central 20%)."""
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(Image.open(png_path).convert("RGB"), np.float32)
+    h, w = arr.shape[:2]
+    if box is None:
+        ys = slice(int(0.4 * h), int(0.6 * h))
+        xs = slice(int(0.4 * w), int(0.6 * w))
+    else:
+        y0, y1, x0, x1 = box
+        ys, xs = slice(int(y0 * h), int(y1 * h)), slice(int(x0 * w), int(x1 * w))
+    return np.median(arr[ys, xs].reshape(-1, 3), axis=0)
+
+
+def _run_tryon_stage(
+    workdir, data_root, warp_kw, warp_state, tom_kw, tom_state,
+    use_random=False,
+) -> dict:
+    """The try-on task (reference docs/2_inference.md 'Try-on Task'): dress
+    each test video's person in a DIFFERENT video's product garment.
+
+    Stage 1 re-exports the trained GMM with the try-on pairing (the CSV's
+    cloth feeds the warp, reference vvt_dataset.py:86-105); stage 2 runs the
+    trained TOM with --warp_cloth_dir at that export, landing in ``tryon/``
+    (reference unet_mask_model.py:258). Garment provenance is asserted by
+    color: the fixture gives each video a distinct solid garment color, so
+    the warped cloth's center and the try-on output's torso must match the
+    PAIRED video's garment, not the person's original one."""
+    import numpy as np
+
+    from shineon_tpu.models.unet_mask_model import UnetMaskModel
+    from shineon_tpu.models.warp_model import WarpModel
+
+    tag = "rand" if use_random else "csv"
+    vids = sorted(
+        osp.basename(osp.normpath(p))
+        for p in glob.glob(osp.join(data_root, "test", "test_frames", "*/"))
+    )
+    cloth_paths = {}
+    for vid in vids:
+        up = vid.upper().split("-")[0]
+        matches = sorted(glob.glob(
+            osp.join(data_root, "clothes_person", "img", up, "*cloth_front*")
+        ))
+        assert matches, f"no product cloth for {vid}"
+        cloth_paths[vid] = matches[0]
+
+    if use_random:
+        tryon_sel = {"random_tryon": True, "tryon_list": None}
+        # mirror VVTDataset._tryon_pairs' seed-420 shuffle so the provenance
+        # assertion knows which garment each person was assigned
+        order = np.random.RandomState(420).permutation(len(vids))
+        pairing = {
+            vids[order[k]]: cloth_paths[vids[order[(k + 1) % len(order)]]]
+            for k in range(len(order))
+        }
+    else:
+        assert len(vids) >= 2, "try-on swap needs >=2 test videos"
+        pairing = {
+            vids[i]: cloth_paths[vids[(i + 1) % len(vids)]]
+            for i in range(len(vids))
+        }
+        csv_path = osp.join(workdir, "tryon_pairs.csv")
+        with open(csv_path, "w") as f:
+            for vid, cloth in pairing.items():
+                f.write(f"{cloth}, {vid}\n")
+        tryon_sel = {"tryon_list": csv_path, "random_tryon": False}
+
+    # stage 1: warp the PAIRED product cloth per frame
+    results1 = osp.join(workdir, f"results_warp_tryon_{tag}")
+    _export(WarpModel, dict(warp_kw, **tryon_sel), warp_state, results1)
+    wc_dirs = glob.glob(osp.join(
+        results1, warp_kw["name"], "*", "test", "*", "warp-cloth"
+    ))
+    assert wc_dirs, f"try-on stage 1 exported nothing under {results1}"
+    warp_cloth_dir = wc_dirs[0]
+
+    # garment provenance at stage 1: the warped cloth's center must carry the
+    # paired garment's color (a solid-color cloth stays its color under TPS)
+    swapped_ok, dists = [], []
+    for vid, paired_cloth in pairing.items():
+        files = sorted(glob.glob(osp.join(warp_cloth_dir, vid, "*.png")))
+        assert files, f"no stage-1 try-on warp-cloth for {vid}"
+        got = _center_color(files[0])
+        paired = _center_color(paired_cloth, box=(0.45, 0.65, 0.35, 0.6))
+        own = _center_color(cloth_paths[vid], box=(0.45, 0.65, 0.35, 0.6))
+        d_paired = float(np.linalg.norm(got - paired))
+        d_own = float(np.linalg.norm(got - own))
+        swapped_ok.append(d_paired < d_own)
+        dists.append({"vid": vid, "d_paired": round(d_paired, 1),
+                      "d_own": round(d_own, 1)})
+
+    # stage 2: TOM consumes the try-on warp export -> tryon/ folder
+    results2 = osp.join(workdir, f"results_tom_tryon_{tag}")
+    _export(
+        UnetMaskModel,
+        dict(tom_kw, **tryon_sel, warp_cloth_dir=warp_cloth_dir),
+        tom_state, results2,
+    )
+    tryon_dirs = glob.glob(osp.join(
+        results2, tom_kw["name"], "*", "test", "*", "tryon"
+    ))
+    recon_dirs = glob.glob(osp.join(
+        results2, tom_kw["name"], "*", "test", "*", "reconstruction"
+    ))
+    assert tryon_dirs and not recon_dirs, (
+        f"try-on export must land in tryon/, got tryon={tryon_dirs} "
+        f"reconstruction={recon_dirs}"
+    )
+    out_files = sorted(glob.glob(osp.join(tryon_dirs[0], "*", "*.png")))
+
+    # stage-2 provenance: the composited torso should sit closer to the
+    # paired garment than to the person's original one (the fixture's torso
+    # box is rows 40..220 / cols 60..130 on a 256x192 canvas)
+    torso_box = (40 / 256, 220 / 256, 60 / 192, 130 / 192)
+    tom_swapped = []
+    for vid, paired_cloth in pairing.items():
+        files = sorted(glob.glob(osp.join(tryon_dirs[0], vid, "*.png")))
+        if not files:
+            continue
+        got = _center_color(files[-1], box=torso_box)
+        paired = _center_color(paired_cloth, box=(0.45, 0.65, 0.35, 0.6))
+        own = _center_color(cloth_paths[vid], box=(0.45, 0.65, 0.35, 0.6))
+        tom_swapped.append(
+            float(np.linalg.norm(got - paired)) < float(np.linalg.norm(got - own))
+        )
+
+    return {
+        f"tryon_{tag}_stage1_swapped_garment_all": all(swapped_ok),
+        f"tryon_{tag}_stage1_color_dists": dists,
+        f"tryon_{tag}_export_files": len(out_files),
+        f"tryon_{tag}_tom_swapped_garment_all": bool(tom_swapped) and all(tom_swapped),
+        f"tryon_{tag}_dir": tryon_dirs[0],
+    }
+
+
 def run_chain(
     fine_height: int = 256,
     fine_width: int = 192,
@@ -76,6 +214,7 @@ def run_chain(
     lr: float = 2e-4,
     workdir: str | None = None,
     tom_arch: dict | None = None,
+    tryon: bool = False,
 ) -> dict:
     from fixtures import make_vvt_fixture
 
@@ -168,7 +307,7 @@ def run_chain(
                   r"psnr_1=([\d.-]+)", out.stdout)
     assert m, f"metrics summary not found in: {out.stdout!r}"
 
-    return {
+    result = {
         "stage1_warp_cloth_files": len(stage1_files),
         "stage1_resume_skipped_all": bool(resumed_untouched),
         "warp_cloth_dir": warp_cloth_dir,
@@ -178,6 +317,18 @@ def run_chain(
         "resolution": f"{fine_width}x{fine_height}",
         "workdir": workdir,
     }
+    if tryon:
+        # the headline try-on task: swapped garments via --tryon_list CSV,
+        # plus the --random_tryon variant (deterministic seed-420 pairing)
+        result.update(_run_tryon_stage(
+            workdir, data_root, warp_kw, warp_state, tom_kw, tom_state,
+            use_random=False,
+        ))
+        result.update(_run_tryon_stage(
+            workdir, data_root, warp_kw, warp_state, tom_kw, tom_state,
+            use_random=True,
+        ))
+    return result
 
 
 def main() -> None:
@@ -190,12 +341,14 @@ def main() -> None:
     p.add_argument("--tom_epochs", type=int, default=8)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--workdir", default=None)
+    p.add_argument("--tryon", action="store_true",
+                   help="also run the try-on task (CSV + --random_tryon)")
     args = p.parse_args()
     result = run_chain(
         fine_height=args.height, fine_width=args.width,
         frames_per_video=args.frames, batch_size=args.batch_size,
         warp_epochs=args.warp_epochs, tom_epochs=args.tom_epochs,
-        lr=args.lr, workdir=args.workdir,
+        lr=args.lr, workdir=args.workdir, tryon=args.tryon,
     )
     print(json.dumps(result))
 
