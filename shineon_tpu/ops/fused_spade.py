@@ -228,8 +228,12 @@ def _fused_forward(x, ab, segc, wsh, bsh, wgb, bgb, act_name, interpret,
     )(*operands)
 
 
-def _pack_inputs(segs_nhwc, wshs, bshs, wgbs, bgbs, cd):
-    """Build the packed kernel operands from per-label NHWC/HWIO params."""
+def _pack_inputs(segs_nhwc, wshs, bshs, wgbs, bgbs, cd, skip_gb=False):
+    """Build the packed kernel operands from per-label NHWC/HWIO params.
+
+    ``skip_gb=True`` (quantized dispatch) skips the full-precision wgb fold —
+    the int8 path replaces it with ``_quantize_gb_weights`` output, so packing
+    it would only produce a dead value (DCE'd under jit, but misleading)."""
     L = len(segs_nhwc)
     cs_list = [int(s.shape[-1]) for s in segs_nhwc]
     cs_tot = sum(cs_list)
@@ -258,9 +262,11 @@ def _pack_inputs(segs_nhwc, wshs, bshs, wgbs, bgbs, cd):
     bsh = jnp.concatenate([b.astype(jnp.float32) for b in bshs]).reshape(1, -1)
 
     # per-label gamma/beta weights: (L, 3, 3*NHID, 2C)
-    wgb = jnp.stack(
-        [k.astype(cd).reshape(3, 3 * NHID, k.shape[-1]) for k in wgbs]
-    )
+    wgb = None
+    if not skip_gb:
+        wgb = jnp.stack(
+            [k.astype(cd).reshape(3, 3 * NHID, k.shape[-1]) for k in wgbs]
+        )
     bgb = jnp.stack([b.astype(jnp.float32) for b in bgbs])
     return segc, wsh, bsh, wgb, bgb
 
@@ -372,7 +378,7 @@ def _dispatch(x, ab, segs_nhwc, wshs, bshs, wgbs, bgbs, act_name,
     # promote(x.dtype, f32) semantics)
     cd = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     segc, wsh, bsh, wgb, bgb = _pack_inputs(
-        segs_nhwc, wshs, bshs, wgbs, bgbs, cd
+        segs_nhwc, wshs, bshs, wgbs, bgbs, cd, skip_gb=quantized
     )
     sgb = None
     if quantized:
@@ -431,7 +437,12 @@ def fused_multispade_modulate(
       quantized: run the gamma/beta stage (>98% of the chain's FLOPs) on
           the int8 MXU path — int8 weights (per-output-channel scales) and
           in-register per-row-tile dynamic activation quantization of the
-          hidden maps. Serving only (int8 SPADE mode).
+          hidden maps. Serving only (int8 SPADE mode). CAVEAT: quantized
+          outputs are platform-dependent — the TPU kernel quantizes
+          activations with per-row-tile scales while the non-TPU fallback
+          (``multispade_modulate_reference_int8``) uses per-tensor scales,
+          so int8 numerics differ between TPU and CPU for identical inputs
+          (weight quantization is identical on both).
 
     Returns (B, H, W, C): x modulated by every label in order.
     """

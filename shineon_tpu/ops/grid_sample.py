@@ -129,10 +129,12 @@ def _gather_corner_blocks(image, x0, y0, padding_mode):
     return v00, v01, v10, v11
 
 
-# Forward-formulation gate for the separable one-hot contraction: cap the
-# (B, P, W, C) f32 row-interp intermediate (~2 GB) so oversized callers fall
-# back to the block gather. Production serving (B16, 256x192, C<=3) is 453M.
-_ONEHOT_FWD_MAX_ROWS_ELEMENTS = 512_000_000
+# Forward-formulation gate for the separable one-hot contraction: one budget
+# over BOTH transient forward buffers that are live at once — the (B, P, W, C)
+# f32 row-interp intermediate AND the (B, P, H) + (B, P, W) one-hot weight
+# matrices — so near-cap callers can't stack ~3 GB of hidden forward buffers
+# per warp. Production serving (B16, 256x192, C<=3): 453M rows + 352M weights.
+_ONEHOT_FWD_MAX_ELEMENTS = 1_024_000_000  # f32 elements (~4 GB combined)
 
 
 def _use_onehot_forward(image_shape, grid_shape) -> bool:
@@ -142,7 +144,8 @@ def _use_onehot_forward(image_shape, grid_shape) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and B * P * W * C <= _ONEHOT_FWD_MAX_ROWS_ELEMENTS
+    live = B * P * (W * C + H + W)
+    return on_tpu and live <= _ONEHOT_FWD_MAX_ELEMENTS
 
 
 def _grid_sample_onehot_impl(image, grid, padding_mode, align_corners):

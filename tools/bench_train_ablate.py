@@ -9,7 +9,7 @@ Measures the production train step (batch 4, 256x192, 5-frame clips,
   * no_vgg         — wt_vgg=0 (isolates the VGG fwd+bwd cost)
   * f32_vgg        — VGG at f32 (the pre-round-4 behavior; the round-4
                      default runs VGG at the compute policy = bf16)
-  * no_temporal_d  — temporal D weight 0 AND its update skipped is not a
+  * num_D_1        — temporal D weight 0 AND its update skipped is not a
                      semantics-preserving option, so instead: num_D=1
                      (halves the multiscale D pyramid) to size D cost
 
@@ -65,6 +65,11 @@ def main() -> None:
         "num_D_1": {"num_D": 1},
     }
     names = args.configs or list(configs)
+    unknown = [n for n in names if n not in configs]
+    if unknown:
+        p.error(
+            f"unknown --configs {unknown}; available: {sorted(configs)}"
+        )
     print("device:", jax.devices()[0].device_kind)
     results = {}
     for name in names:

@@ -256,7 +256,17 @@ def main() -> None:
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--padding", default="border")
     p.add_argument("--impls", nargs="*", default=list(IMPLS))
+    p.add_argument(
+        "--preset", choices=["serving", "train"], default=None,
+        help="serving = B16 (the benchmarked shape); train = B4 zeros-pad "
+        "(the training flow-warp compositing shape, where the one-hot "
+        "forward also runs but was not originally benchmarked)",
+    )
     args = p.parse_args()
+    if args.preset == "train":
+        args.batch, args.padding = 4, "zeros"
+    elif args.preset == "serving":
+        args.batch, args.padding = 16, "border"
 
     print("device:", jax.devices()[0].device_kind)
     rng = np.random.RandomState(0)
