@@ -69,9 +69,16 @@ REPO = osp.dirname(osp.abspath(__file__))
 # and, per the derivation's roofline section, exceeds the v5e's own
 # bandwidth roofline for this workload.
 A100_TORCH_EST_FPS = 202.4
+# Training-side A100 estimate (docs/BASELINE_TRAIN_DERIVATION.md, regenerate
+# with tools/baseline_a100_train_derivation.py): the reference's 3-optimizer
+# fp16-AMP step composed from production-size eager component measurements
+# (compute ceiling binds). train_vs_baseline = reference-exact train fps /
+# this.
+A100_TORCH_TRAIN_EST_FPS = 35.43
 TARGET_BAR_FPS = 5 * A100_TORCH_EST_FPS
 BATCH = 16  # serving batch: throughput saturates ~batch 8 on v5e
 ITERS = 8
+REPEATS = 3  # independent timing repeats; headline = median (min/max in JSON)
 TRAIN_BATCH = 4  # the reference SAMS production batch (sams_model.py:38-40)
 TRAIN_STEPS = 8
 
@@ -221,15 +228,23 @@ def measure_inference(profile_dir: str | None = None) -> dict:
     v = float(chained(warp_state.nets, sams_state.nets, device_batch, 1))
     assert np.isfinite(v), f"pipeline produced {v}"
 
-    t0 = time.perf_counter()
-    float(chained(warp_state.nets, sams_state.nets, device_batch, ITERS))
-    total = time.perf_counter() - t0
-    # subtract the single-iteration dispatch+fetch overhead measured separately
-    t0 = time.perf_counter()
-    float(chained(warp_state.nets, sams_state.nets, device_batch, 1))
-    overhead = time.perf_counter() - t0
-    per_iter = max((total - overhead) / (ITERS - 1), 1e-9)
+    # dispersion protocol (VERDICT r4 weak #1): REPEATS independent
+    # measurements; the headline is the MEDIAN, with min/max carried in the
+    # JSON so a single reading is never mistaken for a distribution (the
+    # tunnel drifts ~9% cross-day; within-run spread is what this bounds).
+    per_iters = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(chained(warp_state.nets, sams_state.nets, device_batch, ITERS))
+        total = time.perf_counter() - t0
+        # subtract the single-iteration dispatch+fetch overhead
+        t0 = time.perf_counter()
+        float(chained(warp_state.nets, sams_state.nets, device_batch, 1))
+        overhead = time.perf_counter() - t0
+        per_iters.append(max((total - overhead) / (ITERS - 1), 1e-9))
+    per_iter = float(np.median(per_iters))
     fps = BATCH * n_frames / per_iter
+    fps_all = sorted(BATCH * n_frames / np.asarray(per_iters))
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -250,6 +265,8 @@ def measure_inference(profile_dir: str | None = None) -> dict:
     mfu = round(clip_flops / per_iter / peak, 4) if peak else None
     return {
         "infer_fps": fps, "infer_clip_s": per_iter, "infer_mfu": mfu,
+        "infer_fps_min": float(fps_all[0]), "infer_fps_max": float(fps_all[-1]),
+        "infer_repeats": len(fps_all),
         "infer_clip_flops": clip_flops,
         "infer_clip_flops_cost_analysis": clip_flops_costan,
     }
@@ -270,57 +287,62 @@ def build_train(batch_size: int, **opt_kw):
     return model, state, step, device_batch, opt.n_frames_total
 
 
-def measure_train(profile_dir: str | None = None) -> dict:
-    # headline: --fast_gan_step, the documented production recommendation
-    # (the G-step clip, detached, feeds both D updates). The TRAIN DEFAULT is
-    # the reference-exact per-optimizer regeneration (--exact_gan_step),
-    # measured as the variant below.
-    model, state, step, batch, n_frames = build_train(
-        TRAIN_BATCH, fast_gan_step=True
-    )
+def _time_train_steps(step, state, batch, repeats: int = REPEATS) -> float:
+    """Median over independent timing windows of TRAIN_STEPS chained steps.
 
-    train_flops_costan = _flops_of(jax.jit(step).lower(state, batch).compile())
-
+    Each window closes with an explicit scalar FETCH (float of the loss):
+    on the axon tunnel ``jax.block_until_ready`` returns immediately
+    (measured 0.07 ms for a 750 ms program), so only a value fetch
+    guarantees the timed window covers real device execution."""
     state, metrics = step(state, batch)  # compile + first step
-    jax.block_until_ready(state.step)
+    float(jax.device_get(metrics["loss"]))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(TRAIN_STEPS):
+            state, metrics = step(state, batch)
+        loss = float(jax.device_get(metrics["loss"]))
+        times.append((time.perf_counter() - t0) / TRAIN_STEPS)
+    assert np.isfinite(loss), f"train step produced loss={loss}"
+    return float(np.median(times))
 
-    t0 = time.perf_counter()
-    for _ in range(TRAIN_STEPS):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(state.step)
-    dt = (time.perf_counter() - t0) / TRAIN_STEPS
+
+def measure_train(profile_dir: str | None = None) -> dict:
+    # HEADLINE: the reference-exact per-optimizer regeneration step
+    # (--exact_gan_step, the CLI default) — VERDICT r4 weak #6 asked for the
+    # exact semantics to lead. --fast_gan_step (the G-step clip, detached,
+    # feeds both D updates; the documented production recommendation) is
+    # reported alongside as the annotated fast variant.
+    model, state, step, batch, n_frames = build_train(
+        TRAIN_BATCH, fast_gan_step=False
+    )
+    train_flops_costan = _flops_of(jax.jit(step).lower(state, batch).compile())
+    dt = _time_train_steps(step, state, batch)
 
     if profile_dir:  # trace 2 steps only: keeps the xplane file small
+        state, metrics = step(state, batch)
+        float(jax.device_get(metrics["loss"]))  # fetch = real barrier on axon
         jax.profiler.start_trace(profile_dir)
         for _ in range(2):
             state, metrics = step(state, batch)
-        jax.block_until_ready(state.step)
+        float(jax.device_get(metrics["loss"]))
         jax.profiler.stop_trace()
 
-    loss = float(jax.device_get(metrics["loss"]))
-    assert np.isfinite(loss), f"train step produced loss={loss}"
     peak = _peak_flops()
     # analytic generator-only lower bound (cost_analysis undercounts convs;
     # see PERF_NOTES round-3 correction): fwd + remat'd backward ~= 4x the
-    # clip forward; +1x when --exact_gan_step regenerates for the D pass.
+    # clip forward, +1x for the exact step's D-pass regeneration.
     # Discriminators/VGG/TTUR passes are excluded -> true MFU is higher.
     clip_fwd = n_frames * _analytic_generator_flops(TRAIN_BATCH)
-    train_flops = 4.0 * clip_fwd
+    train_flops = 5.0 * clip_fwd
     mfu = round(train_flops / dt / peak, 4) if peak else None
 
-    # --exact_gan_step variant (reference per-optimizer regeneration; the
-    # train-CLI default since round 4)
+    # --fast_gan_step variant (approximation: D updates reuse the pre-update
+    # generator's frames)
     _, f_state, f_step, f_batch, _ = build_train(
-        TRAIN_BATCH, fast_gan_step=False
+        TRAIN_BATCH, fast_gan_step=True
     )
-    f_state, f_metrics = f_step(f_state, f_batch)
-    jax.block_until_ready(f_state.step)
-    t0 = time.perf_counter()
-    for _ in range(TRAIN_STEPS):
-        f_state, f_metrics = f_step(f_state, f_batch)
-    jax.block_until_ready(f_state.step)
-    f_dt = (time.perf_counter() - t0) / TRAIN_STEPS
-    assert np.isfinite(float(jax.device_get(f_metrics["loss"])))
+    f_dt = _time_train_steps(f_step, f_state, f_batch)
 
     return {
         "train_fps": TRAIN_BATCH * n_frames / dt,
@@ -328,7 +350,7 @@ def measure_train(profile_dir: str | None = None) -> dict:
         "train_mfu": mfu,
         "train_step_flops": train_flops,
         "train_step_flops_cost_analysis": train_flops_costan,
-        "train_exact_gan_fps": TRAIN_BATCH * n_frames / f_dt,
+        "train_fast_gan_fps": TRAIN_BATCH * n_frames / f_dt,
     }
 
 
@@ -553,14 +575,26 @@ def main() -> None:
         "baseline_def": f"a100_torch_est_{A100_TORCH_EST_FPS}",
         "vs_bar_5x": round(fps / TARGET_BAR_FPS, 3),
         "infer_mfu": result["infer_mfu"],
+        # dispersion over REPEATS independent measurements (value = median)
+        "value_min": round(result["infer_fps_min"], 2),
+        "value_max": round(result["infer_fps_max"], 2),
+        "repeats": result["infer_repeats"],
     }
     if train:
         line.update({
+            # reference-exact per-optimizer GAN semantics (the CLI default)
             "train_frames_per_sec_per_chip": round(train["train_fps"], 2),
+            "train_vs_baseline": round(
+                train["train_fps"] / A100_TORCH_TRAIN_EST_FPS, 3
+            ),
+            "train_baseline_def": (
+                f"a100_torch_train_est_{A100_TORCH_TRAIN_EST_FPS}"
+            ),
             "train_step_ms": round(train["train_step_s"] * 1e3, 1),
             "train_mfu": train["train_mfu"],
-            "train_exact_gan_frames_per_sec_per_chip": round(
-                train["train_exact_gan_fps"], 2
+            # --fast_gan_step approximation (documented production option)
+            "train_fast_gan_frames_per_sec_per_chip": round(
+                train["train_fast_gan_fps"], 2
             ),
         })
     print(json.dumps(line))

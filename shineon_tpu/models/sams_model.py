@@ -30,6 +30,7 @@ hinge-GAN semantics) so the adversarial objective actually trains G;
 from __future__ import annotations
 
 import argparse
+import os
 import os.path as osp
 from typing import Dict, List
 
@@ -364,9 +365,20 @@ class SamsModel(BaseModel):
         init_window = jnp.zeros(
             image.shape[:1] + (N - 1,) + image.shape[2:], win_dtype
         )
+        # SHINEON_EVAL_SCAN_UNROLL unrolls the eval frame loop (opt-in
+        # experiment knob; default ROLLED). Measured same-day at the serving
+        # config (B16, 256x192, int8): full unroll is a dead-end — the
+        # standalone clip got SLOWER (458.7 vs 446.7 ms) and the chained
+        # bench harness OOMs (RESOURCE_EXHAUSTED) because the unrolled body
+        # holds every frame's buffers live. docs/PERF_NOTES.md round 5.
+        unroll = 1
+        if not train:
+            unroll = int(os.environ.get("SHINEON_EVAL_SCAN_UNROLL", "1"))
+            unroll = max(1, min(unroll, len(ts)))
         (window, stats), fakes = jax.lax.scan(
             body, (init_window, g_stats),
             (prev_maps_per_t, current_per_t, flows_per_t),
+            unroll=unroll,
         )
         fake_frame = fakes[-1]
         # all-generated buffer for the temporal D / masking: frames before

@@ -35,16 +35,16 @@ import numpy as np
 
 def measure(step, state, batch, steps=8):
     state, metrics = step(state, batch)  # compile + first step
-    jax.block_until_ready(state.step)
+    float(jax.device_get(metrics["loss"]))  # fetch: the only real barrier
+    # on the axon tunnel (block_until_ready returns before execution ends)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         s = state
         for _ in range(steps):
             s, metrics = step(s, batch)
-        jax.block_until_ready(s.step)
+        loss = float(jax.device_get(metrics["loss"]))
         best = min(best, (time.perf_counter() - t0) / steps)
-    loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss), loss
     return best
 
