@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Mapping, Optional, Union
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -84,11 +86,16 @@ class MultiSpade(nn.Module):
                               mode="apply_fused")
                 return x
 
-        # Block-diagonal mlp_shared packing: the hidden maps depend only on
-        # the segmaps (not the chain value), so all L labels' tiny-Cin
-        # (2-4 channel) convs run as ONE conv stream with block-diagonal
-        # weights assembled from the per-label params — parameters and
-        # numerics unchanged (zero blocks contribute exact zeros).
+        # Grouped mlp_shared packing: the hidden maps depend only on the
+        # segmaps (not the chain value), so all L labels' tiny-Cin
+        # (2-4 channel) convs run as ONE feature-grouped conv — each label
+        # is a group, with segmaps/kernels zero-padded to the widest label's
+        # channel count (zero channels x zero kernel rows contribute exact
+        # zeros, so parameters and numerics are unchanged). Measured at the
+        # dominant full-res site (3x3, 4 labels x 3ch, 512 hidden out, B16,
+        # v5e): grouped 1.756 ms vs the previous zero-padded block-diagonal
+        # DENSE conv 2.321 ms — the dense form paid for the off-block zeros
+        # as real MACs (docs/PERF_NOTES.md round 5).
         hiddens = [None] * len(keys)
         if ks == 3 and len(keys) > 1:
             shared = [
@@ -101,23 +108,43 @@ class MultiSpade(nn.Module):
                 ).astype(x.dtype)
                 for key in keys
             ]
-            cs = [s.shape[-1] for s in segs]
-            total = sum(cs)
-            blocks, off = [], 0
-            for (w, _), c in zip(shared, cs):
-                blocks.append(
-                    jnp.pad(w, ((0, 0), (0, 0), (off, total - off - c),
-                                (0, 0)))
-                )
-                off += c
-            wsh_bd = jnp.concatenate(blocks, axis=-1)
-            bsh_cat = jnp.concatenate([b for _, b in shared])
             cd = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
             actvn = get_activation_fn(self.activation)
-            h_all = actvn(
-                _conv_same(jnp.concatenate(segs, axis=-1), wsh_bd, bsh_cat,
-                           cd)
-            )
+            if os.environ.get("SHINEON_GROUPED_MLP_SHARED", "0") == "1":
+                cmax = max(s.shape[-1] for s in segs)
+                segs_p = [
+                    jnp.pad(s, ((0, 0),) * 3 + ((0, cmax - s.shape[-1]),))
+                    for s in segs
+                ]
+                kern_p = [
+                    jnp.pad(w,
+                            ((0, 0), (0, 0), (0, cmax - w.shape[2]), (0, 0)))
+                    for w, _ in shared
+                ]
+                wsh_g = jnp.concatenate(kern_p, axis=-1)  # (k,k,cmax,L*nh)
+                bsh_cat = jnp.concatenate([b for _, b in shared])
+                h_all = actvn(
+                    _conv_same(
+                        jnp.concatenate(segs_p, axis=-1), wsh_g, bsh_cat, cd,
+                        feature_group_count=len(keys),
+                    )
+                )
+            else:
+                cs = [s.shape[-1] for s in segs]
+                total = sum(cs)
+                blocks, off = [], 0
+                for (w, _), c in zip(shared, cs):
+                    blocks.append(
+                        jnp.pad(w, ((0, 0), (0, 0), (off, total - off - c),
+                                    (0, 0)))
+                    )
+                    off += c
+                wsh_bd = jnp.concatenate(blocks, axis=-1)
+                bsh_cat = jnp.concatenate([b for _, b in shared])
+                h_all = actvn(
+                    _conv_same(jnp.concatenate(segs, axis=-1), wsh_bd,
+                               bsh_cat, cd)
+                )
             nh = shared[0][0].shape[-1]
             hiddens = [
                 h_all[..., i * nh:(i + 1) * nh] for i in range(len(keys))

@@ -125,7 +125,7 @@ class ConvParams(nn.Module):
         return self.kernel, self.bias
 
 
-def _conv_same(v, kernel, bias, compute_dtype):
+def _conv_same(v, kernel, bias, compute_dtype, feature_group_count=1):
     """nn.Conv(dtype=cd) semantics: cast inputs, SAME zero pad, NHWC."""
     ks = kernel.shape[0]
     p = ks // 2
@@ -135,6 +135,7 @@ def _conv_same(v, kernel, bias, compute_dtype):
         window_strides=(1, 1),
         padding=((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
     )
     return out + bias.astype(compute_dtype)
 
@@ -146,6 +147,33 @@ def int8_spade_enabled(train: bool) -> bool:
     them 1.3-1.6x faster than bf16 (tools/probe_int8_conv.py). Opt-in:
     ``SHINEON_INT8_SPADE=1``; eval only."""
     return os.environ.get("SHINEON_INT8_SPADE") == "1" and not train
+
+
+def int8_conv_profitable(ks: int, cin: int, cout: int, hw: int) -> bool:
+    """Per-shape dispatch gate for the int8 serving path. Set by SAME-DAY
+    E2E A/Bs, not by isolated per-shape timings — the round-5 roof census
+    (tools/serving_roof_census.py) flagged ten "misgated" shapes whose
+    isolated bf16 time beats int8, but flipping them regressed the real
+    clip 447 -> 459 ms: in-graph their quantize elementwise fuses into
+    neighboring streams for free and the int8 buffers cost HALF the HBM
+    traffic, so isolated wins do not transfer (the round-4 Pallas lesson
+    again). The two rules that DID survive e2e:
+
+    * ``ks >= 3``: routing the 1x1 resblock-shortcut convs to bf16 measured
+      446.7 -> 438.0 ms e2e (+2%) — K<=1024 with no spatial reuse never
+      amortizes its quantize/dequant passes, in isolation AND in-graph.
+    * ``min(cin, cout) >= 64`` (env ``SHINEON_INT8_MIN_CH``): the round-4
+      same-day scan (SPADE-only 150.5 / gated>=128 152.0 / ungated 152.9
+      f/s) and the round-5 e2e A/Bs both land within noise of each other at
+      64; raising it to 128 regressed e2e.
+
+    ``SHINEON_INT8_MIN_HW`` (default 0 = off) keeps the spatial-area gate
+    available for experiments; enabling it at 768 regressed e2e despite the
+    16x12 sites' isolated losses.
+    """
+    min_ch = int(os.environ.get("SHINEON_INT8_MIN_CH", "64"))
+    min_hw = int(os.environ.get("SHINEON_INT8_MIN_HW", "0"))
+    return ks >= 3 and min(cin, cout) >= min_ch and hw >= min_hw
 
 
 def _conv_same_int8(v, kernel, bias, compute_dtype):
@@ -186,13 +214,11 @@ class Int8Conv(nn.Module):
     is already spectrally normalized) and converted checkpoints load
     unchanged. SAME padding only (all generator convs are SAME).
 
-    Channel gate: per-shape int8 speedups (docs/SPADE_KERNEL_BENCH.md) are
-    1.33-1.57x at >=128 channels and ~1.09x at 64 channels; same-day e2e A/B
-    (docs/PERF_NOTES.md round 4) measured SPADE-only 150.5 f/s, gated >=128
-    152.0, ungated 152.9 — the resblock extension is a ~1-1.6% e2e win and
-    the gate is there to keep the lane-hostile tiny convs (12-in / 3-out at
-    full res) off the quantize path. Convs where either channel count is
-    below ``SHINEON_INT8_MIN_CH`` (default 64) run the normal bf16 path."""
+    Dispatch gate: :func:`int8_conv_profitable` — kernel >= 3x3 and both
+    channel counts >= ``SHINEON_INT8_MIN_CH`` (default 64). Thresholds are
+    set by same-day E2E A/Bs (see the gate's docstring: isolated per-shape
+    wins from the roof census did NOT transfer in-graph; the 1x1 exclusion
+    did, 446.7 -> 438.0 ms)."""
 
     features: int
     kernel_size: tuple
@@ -214,8 +240,8 @@ class Int8Conv(nn.Module):
             )
         else:
             bias = jnp.zeros((self.features,), jnp.float32)
-        min_ch = int(os.environ.get("SHINEON_INT8_MIN_CH", "64"))
-        if min(x.shape[-1], self.features) < min_ch:
+        hw = x.shape[-3] * x.shape[-2]
+        if not int8_conv_profitable(ks, x.shape[-1], self.features, hw):
             return _conv_same(x, kernel, bias, cd)
         return _conv_same_int8(x, kernel, bias, cd)
 
@@ -281,7 +307,9 @@ class SPADE(nn.Module):
             h = hidden if hidden is not None else actvn(
                 _conv_same(segmap, wsh, bsh, cd)
             )
-            if int8_spade_enabled(train) and ks == 3:
+            if int8_spade_enabled(train) and ks == 3 and int8_conv_profitable(
+                ks, self.nhidden, 2 * C, x.shape[-3] * x.shape[-2]
+            ):
                 # one merged [gamma | beta] conv: the hidden map quantizes
                 # once and the MXU runs a single wider int8 matmul
                 gb = _conv_same_int8(

@@ -29,7 +29,6 @@ clipped-coordinate zero-gradient rule of the border mode.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -165,22 +164,16 @@ def _grid_sample_onehot_impl(image, grid, padding_mode, align_corners):
     flat = lambda a: a.reshape(B, -1)  # noqa: E731
     Wy = _axis_weight_matrix(flat(y0), flat(wy1), H, padding_mode)  # (B,P,H)
     Wx = _axis_weight_matrix(flat(x0), flat(wx1), W, padding_mode)  # (B,P,W)
-    # SHINEON_WARP_BF16=1: run the two contractions with bf16 operands at
-    # the MXU's full bf16 rate (f32 accumulation via preferred_element_type)
-    # instead of f32 operands at the MXU's half-rate f32 path. Weights lose
-    # ~3 decimal digits (interp weights in [0,1]); serving opt-in only.
-    in_dtype = (
-        jnp.bfloat16
-        if os.environ.get("SHINEON_WARP_BF16") == "1"
-        else Wy.dtype
-    )
+    # f32 operands kept deliberately: a bf16-operand variant of these two
+    # contractions was measured e2e-NEUTRAL at the serving config (179.04 vs
+    # 179.09 f/s same-day — the warp contractions hide behind neighboring
+    # streams), so the tighter numerics are free. docs/PERF_NOTES.md round 5.
     rows = jnp.einsum(
-        "bph,bhwc->bpwc", Wy.astype(in_dtype), image.astype(in_dtype),
-        preferred_element_type=jnp.float32,
+        "bph,bhwc->bpwc", Wy, image.astype(Wy.dtype),
+        preferred_element_type=Wy.dtype,
     )
     out = jnp.einsum(
-        "bpw,bpwc->bpc", Wx.astype(in_dtype), rows.astype(in_dtype),
-        preferred_element_type=jnp.float32,
+        "bpw,bpwc->bpc", Wx, rows, preferred_element_type=Wy.dtype
     )
     return out.reshape(x0.shape + (C,)).astype(image.dtype)
 

@@ -147,6 +147,11 @@ def test_int8_spade_close_to_fp(monkeypatch):
     monkeypatch.delenv("SHINEON_INT8_SPADE", raising=False)
     out_fp = m.apply(variables, x, seg, train=False)
     monkeypatch.setenv("SHINEON_INT8_SPADE", "1")
+    # the production dispatch gate (>=128ch, >=768 spatial; measured in
+    # tools/serving_roof_census.py) would keep these tiny test shapes on
+    # the bf16 path; lower it so the int8 numerics are exercised
+    monkeypatch.setenv("SHINEON_INT8_MIN_CH", "8")
+    monkeypatch.setenv("SHINEON_INT8_MIN_HW", "1")
     out_q = m.apply(variables, x, seg, train=False)
     # int8 must actually change the numerics (path taken) but stay close
     diff = np.abs(np.asarray(out_q) - np.asarray(out_fp))
@@ -180,9 +185,11 @@ def test_int8_serving_covers_resblock_and_generator_convs(monkeypatch):
 
     out_fp = m.apply(variables, x, seg, train=False)
     monkeypatch.setenv("SHINEON_INT8_SPADE", "1")
-    # the production channel gate (128) would keep these tiny test convs on
-    # the bf16 path; lower it so the int8 path is exercised
+    # the production dispatch gate (>=128ch, >=768 spatial) would keep these
+    # tiny test convs on the bf16 path; lower it so the int8 path is
+    # exercised
     monkeypatch.setenv("SHINEON_INT8_MIN_CH", "8")
+    monkeypatch.setenv("SHINEON_INT8_MIN_HW", "1")
     out_q = m.apply(variables, x, seg, train=False)
     # the int8 structure must bind to the same variable tree
     tree_q = jax.tree_util.tree_map(

@@ -26,7 +26,9 @@ from collections import defaultdict
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-# census the full-precision serving graph (what the analytic count models)
+# default: census the full-precision serving graph (what the analytic count
+# models); --int8 switches to the int8 serving graph (main() re-sets this
+# before the model is built — the env is read at trace time)
 os.environ["SHINEON_INT8_SPADE"] = "0"
 
 import jax
@@ -35,7 +37,7 @@ import numpy as np
 
 CONV_RE = re.compile(
     r"stablehlo\.convolution\(.*?\)"
-    r".*?:\s*\(tensor<([0-9x]+)x[a-z0-9]+>,\s*tensor<([0-9x]+)x[a-z0-9]+>\)"
+    r".*?:\s*\(tensor<([0-9x]+)x([a-z0-9]+)>,\s*tensor<([0-9x]+)x[a-z0-9]+>\)"
     r"\s*->\s*tensor<([0-9x]+)x[a-z0-9]+>",
     re.DOTALL,
 )
@@ -53,14 +55,20 @@ def census(hlo_text: str):
     total = 0.0
     by_shape: dict[str, list] = defaultdict(lambda: [0, 0.0])
     for m in CONV_RE.finditer(hlo_text):
-        lhs, ker, out = (_dims(g) for g in m.groups())
+        lhs = _dims(m.group(1))
+        dtype = m.group(2)
+        ker = _dims(m.group(3))
+        out = _dims(m.group(4))
         # jax lowers NHWC convs with kernel [kh, kw, cin/g, cout] (HWIO);
         # MACs per output element = kh * kw * cin_per_group
         out_elems = float(np.prod(out))
         macs = float(np.prod(ker[:-1]))  # kh * kw * cin_per_group
         fl = 2.0 * out_elems * macs
         total += fl
-        key = f"conv {'x'.join(map(str, ker))} -> {'x'.join(map(str, out))}"
+        key = (
+            f"conv {'x'.join(map(str, ker))} -> "
+            f"{'x'.join(map(str, out))} [{dtype}]"
+        )
         by_shape[key][0] += 1
         by_shape[key][1] += fl
     return total, by_shape
@@ -71,7 +79,17 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out", default=None,
                     help="optionally append the table to this markdown file")
+    ap.add_argument("--int8", action="store_true",
+                    help="census the int8 serving graph (the bench default) "
+                    "instead of the fp graph; skips the analytic comparison "
+                    "(the analytic count models the fp formulation)")
+    ap.add_argument("--json", default=None,
+                    help="write the full per-shape table as JSON (consumed "
+                    "by tools/serving_roof_census.py)")
     args = ap.parse_args()
+
+    if args.int8:
+        os.environ["SHINEON_INT8_SPADE"] = "1"
 
     from __graft_entry__ import _raw_batch, _sams_opt
     from shineon_tpu.models.sams_model import SamsModel
@@ -106,9 +124,23 @@ def main():
     analytic = _analytic_generator_flops(args.batch)
 
     rows = sorted(by_shape.items(), key=lambda kv: -kv[1][1])
+    if args.json:
+        import json as _json
+
+        payload = [
+            {"shape": key, "count": cnt, "flops": fl}
+            for key, (cnt, fl) in rows
+        ]
+        with open(args.json, "w") as f:
+            _json.dump({"batch": args.batch,
+                        "int8": bool(args.int8),
+                        "total_flops": per_fwd,
+                        "convs": payload}, f, indent=1)
+        print(f"wrote {args.json}", file=sys.stderr)
     lines = [
         f"HLO census of generate_n_frames (batch {args.batch}, "
-        f"{n}-frame scan whose body lowers once, fp serving graph):",
+        f"{n}-frame scan whose body lowers once, "
+        f"{'int8' if args.int8 else 'fp'} serving graph):",
         "",
         "| op shape | count/forward | TFLOP |",
         "|---|---|---|",
@@ -128,6 +160,10 @@ def main():
     if args.out:
         with open(args.out, "a") as f:
             f.write("\n" + report + "\n")
+    if args.int8:
+        # the analytic count models the fp formulation; the int8 graph merges
+        # [gamma|beta] convs (same FLOPs) but the census is informational here
+        sys.exit(0)
     ok = abs(per_fwd / analytic - 1.0) < 0.10
     print("AGREE within 10%" if ok else "DISAGREE by >10%")
     sys.exit(0 if ok else 1)
