@@ -54,17 +54,22 @@ def _tree_mean(out) -> jnp.ndarray:
 
 
 def _measure(chained, args, iters: int) -> float:
-    """Seconds per iteration: fori_loop of ``iters`` minus the 1-iter
-    dispatch+fetch overhead (bench.py protocol)."""
+    """Seconds per iteration: slope between a short and a 4x-longer
+    fori_loop window, median of 3 (the tunnel's ~25 ms round-trip carries
+    multi-ms jitter, so single-window overhead subtraction can read ~0 for
+    fast stages — the roof-census lesson)."""
     v = float(chained(*args, 1))
     assert np.isfinite(v), v
-    t0 = time.perf_counter()
-    float(chained(*args, iters))
-    total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chained(*args, 1))
-    overhead = time.perf_counter() - t0
-    return max((total - overhead) / (iters - 1), 1e-9)
+    diffs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(*args, iters))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chained(*args, 4 * iters))
+        t_long = time.perf_counter() - t0
+        diffs.append(max(t_long - t_short, 1e-9) / (3 * iters))
+    return float(np.median(diffs))
 
 
 def main() -> None:
