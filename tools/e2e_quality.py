@@ -236,9 +236,14 @@ def run_e2e(
             capture_output=True, text=True, timeout=1200, cwd=REPO,
         )
         assert out.returncode == 0, out.stderr[-4000:]
+        # psnr may legitimately read -inf: an UNTRAINED production-size
+        # autoregressive clip explodes to non-finite frames (the export
+        # clamps to black), which is exactly what the init-baseline column
+        # records at 256x192 (round-5 production curve)
+        num = r"(-?[\d.]+|-?inf|nan)"
         m = re.search(
-            r"frames=(\d+) ssim_1=([\d.]+) ssim_2=([\d.]+) "
-            r"psnr_1=([\d.-]+) psnr_2=([\d.-]+)",
+            rf"frames=(\d+) ssim_1={num} ssim_2={num} "
+            rf"psnr_1={num} psnr_2={num}",
             out.stdout,
         )
         assert m, f"metrics summary not found in: {out.stdout!r}"
