@@ -54,7 +54,10 @@ def main() -> None:
                 precision=16,
                 workdir=None if args.workdir is None
                 else osp.join(args.workdir, f"ep{ep}"),
-                arch_overrides={"remat": True},
+                # display_count=24: TB carries the loss curve every 4 epochs
+                # (the QA deliverable needs finite-and-improving LOSSES at
+                # production scale, not just the final SSIM point)
+                arch_overrides={"remat": True, "display_count": 24},
                 extra_export_envs=(
                     {"int8": {"SHINEON_INT8_SPADE": "1"}} if last else None
                 ),
