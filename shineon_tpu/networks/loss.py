@@ -77,7 +77,11 @@ class VGGLoss:
         # ``dtype`` follows the model's compute policy: under --precision 16
         # the VGG convs run bf16 on the MXU like every other net in the step
         # (params stay f32; the per-layer L1 reduces in f32 below). Default
-        # None keeps full precision.
+        # None keeps full precision. Quality evidence for the bf16 policy
+        # (advisor r4): the round-5 production quality curve trained the
+        # full SAMS objective at --precision 16 with this loss active —
+        # finite losses throughout and SSIM/PSNR improving to 0.0234/11.08
+        # over 1440 steps at 256x192 (PARITY_E2E.md round-5 section).
         self.model = Vgg19Features(dtype=dtype)
         self.variables = (
             variables
