@@ -24,7 +24,7 @@ def test_census_counts_conv_flops_exactly():
     conv2 = 2.0 * (2 * 8 * 8 * 8) * (1 * 1 * 4)
     assert total == conv1 + conv2
     assert len(by_shape) == 2
-    key1 = "conv 3x3x12x64 -> 16x256x192x64"
+    key1 = "conv 3x3x12x64 -> 16x256x192x64 [bf16]"
     assert by_shape[key1] == [1, conv1]
 
 
