@@ -209,16 +209,33 @@ model = SamsModel(opt)
 state = model.init_state(jax.random.PRNGKey(420), steps_per_epoch=4)
 mesh = make_mesh()
 assert mesh.devices.size == 4
+# Gloo context init times out 30s after the FIRST worker reaches a cross-
+# process collective; on a loaded 1-core host the workers' independent
+# multi-minute compiles skew far past that. Re-align with the coordination-
+# service barrier (gRPC to the coordinator, long timeout, no Gloo) right
+# before every first-use of the Gloo collectives, and AOT-compile the train
+# step so its first execution starts aligned too.
+from jax._src import distributed as _dist
+def _barrier(name):
+    _dist.global_state.client.wait_at_barrier(name, timeout_in_ms=870_000)
+# multi-process device_put of an uncommitted (host) pytree itself runs an
+# assert_equal allgather (jax/_src/dispatch.py:493) — THAT is the first
+# Gloo collective, so align before it, right after the skew-heavy
+# init_state tracing above.
+_barrier("pre-replicate")
 state = jax.device_put(state, replicated_sharding(mesh))
 step = model.make_train_step()
 
 # distinct local halves of the global batch (per-process data shards), so
 # replica gradients genuinely differ before the allreduce
 local = _raw_batch(opt, batch=2, rng_seed=100 + pid)
+_barrier("pre-shard")   # shard_batch runs the first Gloo collective
 gbatch = shard_batch(local, mesh)
 assert gbatch["image_u8"].shape[0] == 4
 
-new_state, metrics = step(state, gbatch)
+compiled = step.lower(state, gbatch).compile()  # heavy, skews freely
+_barrier("pre-step")    # execution (and its Gloo inits) starts aligned
+new_state, metrics = compiled(state, gbatch)
 loss = float(jax.device_get(metrics["loss"]))
 d_multi = float(jax.device_get(metrics["loss/D/multi"]))
 d_temp = float(jax.device_get(metrics["loss/D/temporal"]))
