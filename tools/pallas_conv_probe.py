@@ -54,35 +54,146 @@ def _kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, xbuf, sems, *, th, w,
     step = b * n_r + r
     total = pl.num_programs(0) * n_r
 
-    def tile_dma(slot, bb, rr):
-        # full (aligned) padded width per slab: Mosaic requires HBM slice
-        # extents on the sublane dim to be 8-aligned, so W is padded to Wp
-        # outside and the halo DMA slices rows only
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(rr * th, th + 2)],
-            xbuf.at[slot],
-            sems.at[slot],
-        )
+    if variant == "shifted3":
+        # x_hbm is the (3, B, H+2, W, Cin) stack of width-shifted quantized
+        # inputs; each shift DMAs into its own 128-lane-aligned K slot of
+        # ONE (th+2, W, 3*Cin) buffer — no in-kernel shifts or concats
+        def shift_dmas(slot, bb, rr):
+            return [
+                pltpu.make_async_copy(
+                    x_hbm.at[s, bb, pl.ds(rr * th, th + 2)],
+                    xbuf.at[slot, :, :, pl.ds(s * cin, cin)],
+                    sems.at[slot, s],
+                )
+                for s in range(3)
+            ]
+
+        def tile_start(slot, bb, rr):
+            for d in shift_dmas(slot, bb, rr):
+                d.start()
+
+        def tile_wait(slot, bb, rr):
+            for d in shift_dmas(slot, bb, rr):
+                d.wait()
+    else:
+        def tile_start(slot, bb, rr):
+            tile_dma(slot, bb, rr).start()
+
+        def tile_wait(slot, bb, rr):
+            tile_dma(slot, bb, rr).wait()
+
+        def tile_dma(slot, bb, rr):
+            # full (aligned) padded width per slab: Mosaic requires HBM slice
+            # extents on the sublane dim to be 8-aligned, so W is padded to
+            # Wp outside and the halo DMA slices rows only
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(rr * th, th + 2)],
+                xbuf.at[slot],
+                sems.at[slot],
+            )
 
     slot = jax.lax.rem(step, 2)
     nxt = step + 1
 
     @pl.when(step == 0)
     def _():
-        tile_dma(0, b, r).start()
+        tile_start(0, b, r)
 
     @pl.when(nxt < total)
     def _():
-        tile_dma(1 - slot, nxt // n_r, jax.lax.rem(nxt, n_r)).start()
+        tile_start(1 - slot, nxt // n_r, jax.lax.rem(nxt, n_r))
 
-    tile_dma(slot, b, r).wait()
+    tile_wait(slot, b, r)
 
     wp = xbuf.shape[2]
-    if variant == "taps9":
+    if variant == "shifted3":
+        # 3 dots, K = 3*Cin per dy-row, accumulation inside the MXU
+        acc = None
+        for dy in range(3):
+            xa = xbuf[slot, dy:dy + th].reshape(th * w, 3 * cin)
+            part = jax.lax.dot_general(
+                xa, w_ref[dy],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = part if acc is None else acc + part
+        out = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+    elif variant == "taps9":
         acc = None
         for dy in range(3):
             for dx in range(3):
                 xa = xbuf[slot, dy:dy + th, dx:dx + w, :].reshape(th * w, cin)
+                part = jax.lax.dot_general(
+                    xa, w_ref[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = part if acc is None else acc + part
+        out = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+    elif variant in ("rolledcat", "rolled9"):
+        # No width halo at all: W=192 is sublane-aligned, so the
+        # (th, W, Cin) -> (th*W, Cin) collapse is layout-free; the dx
+        # shifts become +-1 sublane rolls on the fused row dim with the
+        # row-edge columns masked to the conv's zero padding. rolledcat
+        # lane-concats the 9 taps (each a full 128-lane tile) into ONE
+        # K=1152 int8 dot so accumulation happens inside the MXU.
+        w_idx = jax.lax.broadcasted_iota(jnp.int32, (th * w, 1), 0) % w
+        taps = []
+        acc = None
+        for dy in range(3):
+            xd = xbuf[slot, dy:dy + th].reshape(th * w, cin)
+            for s in (-1, 0, 1):
+                if s == 0:
+                    xs = xd
+                else:
+                    # Mosaic's rotate is 32-bit only: pack 4 int8 lanes into
+                    # int32 (axis-0 rolls are lane-agnostic), roll, unpack
+                    x32 = pltpu.bitcast(xd, jnp.int32)
+                    x32 = pltpu.roll(x32, (-s) % (th * w), axis=0)
+                    xs = pltpu.bitcast(x32, jnp.int8)
+                    edge = 0 if s == -1 else w - 1
+                    xs = jnp.where(w_idx != edge, xs, 0).astype(jnp.int8)
+                if variant == "rolledcat":
+                    taps.append(xs)
+                else:
+                    part = jax.lax.dot_general(
+                        xs, w_ref[dy, s + 1],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = part if acc is None else acc + part
+        if variant == "rolledcat":
+            xcat = jnp.concatenate(taps, axis=1)  # (th*W, 9*Cin)
+            acc = jax.lax.dot_general(
+                xcat, w_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        out = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+    elif variant == "taps9bf16":
+        # diagnostic: same 9-tap structure but bf16 operands / f32 acc —
+        # if this matches taps9's time, Mosaic's s8xs8->s32 dot is NOT
+        # using the MXU's 2x int8 rate and the kernel can't beat XLA's
+        # int8 emitter
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                xa = xbuf[slot, dy:dy + th, dx:dx + w, :].reshape(th * w, cin)
+                part = jax.lax.dot_general(
+                    xa.astype(jnp.bfloat16),
+                    w_ref[dy, dx].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+        out = acc * scale_ref[0] + bias_ref[0]
+    elif variant == "mmonly":
+        # diagnostic: 9 matmuls on a FIXED tap (wrong numerics) — measures
+        # the achievable Mosaic int8 MXU rate with zero shift/relayout work
+        xa = xbuf[slot, 1:1 + th, 1:1 + w, :].reshape(th * w, cin)
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
                 part = jax.lax.dot_general(
                     xa, w_ref[dy, dx],
                     (((1,), (0,)), ((), ())),
@@ -125,8 +236,21 @@ def pallas_conv3x3_int8(v, kernel, bias, compute_dtype, th=16,
     kf = kernel.astype(jnp.float32)
     ksc = jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0 + 1e-30
     kq = jnp.clip(jnp.round(kf / ksc), -127, 127).astype(jnp.int8)
-    pad_w = (-(W + 2)) % 8  # align the padded width for HBM DMA slicing
-    vq = jnp.pad(vq, ((0, 0), (1, 1), (1, 1 + pad_w), (0, 0)))
+    if variant == "shifted3":
+        # materialize the three width-shifted views outside (one fused XLA
+        # elementwise+pad producer); the kernel then only ever does aligned
+        # DMAs and aligned row collapses
+        pad_w = -2
+        vq = jnp.pad(vq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        vq = jnp.stack([vq[:, :, s:s + W] for s in range(3)])
+    elif variant in ("rolledcat", "rolled9"):
+        # height halo only — dx shifts are in-kernel rolls, and W=192 is
+        # already aligned for both the HBM DMA and the row collapse
+        pad_w = -2
+        vq = jnp.pad(vq, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    else:
+        pad_w = (-(W + 2)) % 8  # align the padded width for HBM DMA slicing
+        vq = jnp.pad(vq, ((0, 0), (1, 1), (1, 1 + pad_w), (0, 0)))
     scale = (s * ksc).astype(jnp.float32).reshape(1, Cout)
     bias = bias.astype(jnp.float32).reshape(1, Cout)
 
@@ -136,6 +260,18 @@ def pallas_conv3x3_int8(v, kernel, bias, compute_dtype, th=16,
         # by shifted slicing of the int32 result
         kq = jnp.moveaxis(kq, 1, 2).reshape(3, Cin, 3 * Cout)
         w_spec = pl.BlockSpec((3, Cin, 3 * Cout), lambda b, r: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    elif variant == "rolledcat":
+        # (9*Cin, Cout): im2col weight matrix, rows in (dy, dx) tap order —
+        # exactly the (3, 3, Cin, Cout) row-major collapse
+        kq = kq.reshape(9 * Cin, Cout)
+        w_spec = pl.BlockSpec((9 * Cin, Cout), lambda b, r: (0, 0),
+                              memory_space=pltpu.VMEM)
+    elif variant == "shifted3":
+        # (3, 3*Cin, Cout): per dy, K blocks in dx order matching the
+        # per-shift 128-lane slots of the DMA buffer
+        kq = kq.reshape(3, 3 * Cin, Cout)
+        w_spec = pl.BlockSpec((3, 3 * Cin, Cout), lambda b, r: (0, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
         w_spec = pl.BlockSpec((3, 3, Cin, Cout), lambda b, r: (0, 0, 0, 0),
@@ -158,8 +294,14 @@ def pallas_conv3x3_int8(v, kernel, bias, compute_dtype, th=16,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, W + 2 + pad_w, Cin), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(
+                (2, th + 2, W + 2 + pad_w,
+                 3 * Cin if variant == "shifted3" else Cin),
+                jnp.int8,
+            ),
+            pltpu.SemaphoreType.DMA(
+                (2, 3) if variant == "shifted3" else (2,)
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -182,11 +324,16 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip-check", action="store_true")
     ap.add_argument("--variant", default="merged",
-                    choices=("merged", "taps9"))
+                    choices=("merged", "taps9", "mmonly", "taps9bf16",
+                             "rolledcat", "rolled9", "shifted3"))
+    ap.add_argument("--only", type=int, default=None,
+                    help="probe only SHAPES[i]")
     args = ap.parse_args()
 
-    print(f"platform={jax.devices()[0].platform} th={args.th}")
-    for (B, H, W, Cin, Cout) in SHAPES:
+    print(f"platform={jax.devices()[0].platform} th={args.th} "
+          f"variant={args.variant}", flush=True)
+    shapes = SHAPES if args.only is None else [SHAPES[args.only]]
+    for (B, H, W, Cin, Cout) in shapes:
         if Cin % 128:
             print(f"  conv 3x3x{Cin}x{Cout}: skipped (Mosaic HBM-slice lane "
                   f"alignment needs Cin % 128 == 0)")
